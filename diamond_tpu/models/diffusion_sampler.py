@@ -1,0 +1,115 @@
+"""Karras-schedule diffusion sampler (Euler / Heun, optional churn).
+
+TPU-native counterpart of reference src/models/diffusion/diffusion_sampler.py. The sigma
+schedule is computed once in numpy at construction (static), so the sampling loop unrolls at
+trace time (default 3 steps) — the whole sampler is a single jittable pure function, nested
+inside the imagination-rollout scan.
+
+Exact-behavior note: the initial latent is a *standard normal* draw, NOT scaled by sigma_max
+(reference diffusion_sampler.py:36 ``x = torch.randn(b, c, h, w)``), and the per-step gamma
+uses static python comparisons on the schedule values (reference diffusion_sampler.py:39-40).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .denoiser import Denoiser
+
+Variables = Any
+
+
+@dataclass
+class DiffusionSamplerConfig:
+    """reference: src/models/diffusion/diffusion_sampler.py:10-20."""
+
+    num_steps_denoising: int
+    sigma_min: float = 2e-3
+    sigma_max: float = 5.0
+    rho: int = 7
+    order: int = 1
+    s_churn: float = 0.0
+    s_tmin: float = 0.0
+    s_tmax: float = float("inf")
+    s_noise: float = 1.0
+
+    @classmethod
+    def from_cfg(cls, cfg: Any) -> "DiffusionSamplerConfig":
+        return cls(
+            num_steps_denoising=cfg.num_steps_denoising,
+            sigma_min=float(cfg.sigma_min),
+            sigma_max=float(cfg.sigma_max),
+            rho=int(cfg.rho),
+            order=int(cfg.order),
+            s_churn=float(cfg.s_churn),
+            s_tmin=float(cfg.s_tmin),
+            s_tmax=float(cfg.s_tmax),
+            s_noise=float(cfg.s_noise),
+        )
+
+
+def build_sigmas(num_steps: int, sigma_min: float, sigma_max: float, rho: int) -> np.ndarray:
+    """Karras rho-schedule + trailing zero (reference diffusion_sampler.py:61-67)."""
+    min_inv_rho = sigma_min ** (1 / rho)
+    max_inv_rho = sigma_max ** (1 / rho)
+    l = np.linspace(0, 1, num_steps)
+    sigmas = (max_inv_rho + l * (min_inv_rho - max_inv_rho)) ** rho
+    return np.concatenate([sigmas, np.zeros(1)])
+
+
+class DiffusionSampler:
+    """reference: src/models/diffusion/diffusion_sampler.py:23-58."""
+
+    def __init__(self, denoiser: Denoiser, cfg: DiffusionSamplerConfig) -> None:
+        self.denoiser = denoiser
+        self.cfg = cfg
+        self.sigmas = build_sigmas(cfg.num_steps_denoising, cfg.sigma_min, cfg.sigma_max,
+                                   cfg.rho)
+
+    def sample(self, variables: Variables, rng: jax.Array, prev_obs: jnp.ndarray,
+               prev_act: jnp.ndarray, return_trajectory: bool = False
+               ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        """Sample the next frame given conditioning frames/actions.
+
+        prev_obs: (B, T, H, W, C) float [-1,1]; prev_act: (B, T) int.
+        Returns (x, trajectory). Pure function of (variables, rng); loop unrolled (static
+        schedule, default 3 steps). Callers wanting no-grad semantics wrap in stop_gradient.
+        """
+        cfg = self.cfg
+        b, t, h, w, c = prev_obs.shape
+        prev_obs = jnp.moveaxis(prev_obs, 1, 3).reshape(b, h, w, t * c)
+
+        rng, rng_init = jax.random.split(rng)
+        gamma_ = min(cfg.s_churn / (len(self.sigmas) - 1), 2 ** 0.5 - 1)
+        x = jax.random.normal(rng_init, (b, h, w, c))
+        trajectory = [x] if return_trajectory else []
+
+        for sigma, next_sigma in zip(self.sigmas[:-1], self.sigmas[1:]):
+            sigma, next_sigma = float(sigma), float(next_sigma)
+            gamma = gamma_ if cfg.s_tmin <= sigma <= cfg.s_tmax else 0.0
+            sigma_hat = sigma * (gamma + 1)
+            if gamma > 0:
+                rng, rng_eps = jax.random.split(rng)
+                eps = jax.random.normal(rng_eps, x.shape) * cfg.s_noise
+                x = x + eps * (sigma_hat ** 2 - sigma ** 2) ** 0.5
+            # NB the reference denoises with sigma, not sigma_hat, even with churn
+            # (reference diffusion_sampler.py:44).
+            denoised = self.denoiser.denoise(variables, x, sigma, prev_obs, prev_act)
+            d = (x - denoised) / sigma_hat
+            dt = next_sigma - sigma_hat
+            if cfg.order == 1 or next_sigma == 0:
+                x = x + d * dt  # Euler
+            else:
+                x_2 = x + d * dt  # Heun
+                denoised_2 = self.denoiser.denoise(variables, x_2, next_sigma, prev_obs,
+                                                   prev_act)
+                d_2 = (x_2 - denoised_2) / next_sigma
+                x = x + (d + d_2) / 2 * dt
+            if return_trajectory:
+                trajectory.append(x)
+        return x, trajectory

@@ -1,0 +1,245 @@
+"""Shared utilities: logging sink, checkpoint rotation, metrics, schedules.
+
+TPU-native counterpart of the reference's src/utils.py. Notable translations:
+  * wandb-funnelled ``to_log`` dicts (reference: src/utils.py:323-325) -> a JSONL sink that is
+    always on, with wandb layered on top when available and enabled.
+  * ``save_with_backup`` .bk swap (reference: src/utils.py:284-289) -> same semantics, pickle.
+  * ``keep_agent_copies_every`` rotation (reference: src/utils.py:209-230) -> same schedule.
+  * minGPT-style AdamW decay split (reference: src/utils.py:129-166) -> optax masked weight decay
+    driven by parameter-path predicates (see models/agent.py for the masks).
+"""
+
+from __future__ import annotations
+
+import json
+import pickle
+import random
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Logs = List[Dict[str, Any]]
+
+ATARI_100K_GAMES = [
+    "Alien", "Amidar", "Assault", "Asterix", "BankHeist", "BattleZone", "Boxing", "Breakout",
+    "ChopperCommand", "CrazyClimber", "DemonAttack", "Freeway", "Frostbite", "Gopher", "Hero",
+    "Jamesbond", "Kangaroo", "Krull", "KungFuMaster", "MsPacman", "Pong", "PrivateEye", "Qbert",
+    "RoadRunner", "Seaquest", "UpNDown",
+]  # reference: src/utils.py:23-50
+
+
+# ---------------------------------------------------------------------------
+# Logging
+
+
+class MetricsLogger:
+    """Append-only JSONL metrics sink; wandb optional (reference funnels all logs through
+    wandb_log, src/utils.py:323-325 — here the JSONL file is the source of truth)."""
+
+    def __init__(self, path: Union[str, Path], wandb_cfg: Optional[Dict[str, Any]] = None) -> None:
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._wandb = None
+        if wandb_cfg and wandb_cfg.get("mode", "disabled") != "disabled":
+            try:
+                import wandb  # type: ignore
+
+                wandb.init(**{k: v for k, v in wandb_cfg.items() if k != "mode"}, resume=True)
+                self._wandb = wandb
+            except Exception:
+                self._wandb = None
+
+    def log(self, logs: Logs, epoch: int) -> None:
+        with self.path.open("a") as f:
+            for d in logs:
+                row = {"epoch": epoch, **{k: _to_py(v) for k, v in d.items()}}
+                f.write(json.dumps(row) + "\n")
+                if self._wandb is not None:
+                    self._wandb.log(row)
+
+
+def _to_py(v: Any) -> Any:
+    if isinstance(v, (jnp.ndarray, np.ndarray)):
+        return v.tolist() if v.ndim > 0 else float(v)
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    return v
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint files
+
+
+def save_with_backup(obj: Any, path: Union[str, Path]) -> None:
+    """Swap-in save: rename old file to .bk, write new, delete .bk
+    (reference: src/utils.py:284-289)."""
+    path = Path(path)
+    bk = path.with_suffix(".bk")
+    if path.is_file():
+        path.rename(bk)
+    with path.open("wb") as f:
+        pickle.dump(obj, f)
+    bk.unlink(missing_ok=True)
+
+
+def load_pickle(path: Union[str, Path]) -> Any:
+    with Path(path).open("rb") as f:
+        return pickle.load(f)
+
+
+def get_path_agent_ckpt(path_ckpt_dir: Union[str, Path], epoch: int, num_zeros: int = 5) -> Path:
+    """reference: src/utils.py:199-206 (negative epoch indexes from the end)."""
+    d = Path(path_ckpt_dir) / "agent_versions"
+    if epoch >= 0:
+        return d / f"agent_epoch_{epoch:0{num_zeros}d}.pt"
+    all_ = sorted(d.iterdir())
+    assert len(all_) >= -epoch
+    return all_[epoch]
+
+
+def keep_agent_copies_every(
+    agent_sd: Dict[str, Any],
+    epoch: int,
+    path_ckpt_dir: Path,
+    every: int,
+    num_to_keep: Optional[int],
+) -> None:
+    """Rotating weights-only snapshots (reference: src/utils.py:209-230)."""
+    assert every > 0
+    assert num_to_keep is None or num_to_keep > 0
+    get_path = partial(get_path_agent_ckpt, path_ckpt_dir)
+    get_path(0).parent.mkdir(parents=True, exist_ok=True)
+    save_with_backup(agent_sd, get_path(epoch))
+    if (num_to_keep is not None) and (epoch % every == 0):
+        get_path(max(0, epoch - num_to_keep * every)).unlink(missing_ok=True)
+    if (epoch - 1) % every != 0:
+        get_path(max(0, epoch - 1)).unlink(missing_ok=True)
+
+
+def save_info_for_import_script(epoch: int, run_name: Optional[str], path_ckpt_dir: Path) -> None:
+    """reference: src/utils.py:276-281."""
+    with (Path(path_ckpt_dir) / "info_for_import_script.json").open("w") as f:
+        json.dump({"epoch": epoch, "name": run_name}, f)
+
+
+# ---------------------------------------------------------------------------
+# Metrics
+
+
+def compute_classification_metrics(cm: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-class precision/recall/F1 from a confusion matrix with rows=true, cols=pred
+    (reference: src/utils.py:109-126)."""
+    cm = np.asarray(cm, dtype=np.float64)
+    n = cm.shape[0]
+    precision, recall, f1 = np.zeros(n), np.zeros(n), np.zeros(n)
+    for i in range(n):
+        tp = cm[i, i]
+        fp = cm[:, i].sum() - tp
+        fn = cm[i, :].sum() - tp
+        precision[i] = tp / (tp + fp) if (tp + fp) else 0.0
+        recall[i] = tp / (tp + fn) if (tp + fn) else 0.0
+        s = precision[i] + recall[i]
+        f1[i] = 2 * precision[i] * recall[i] / s if s else 0.0
+    return precision, recall, f1
+
+
+def process_confusion_matrices_if_any_and_compute_classification_metrics(logs: Logs) -> None:
+    """Pop per-step confusion matrices, accumulate, append P/R/F1 metrics
+    (reference: src/utils.py:233-248)."""
+    cms = [x.pop("confusion_matrix") for x in logs if "confusion_matrix" in x]
+    if not cms:
+        return
+    accum = {k: sum(np.asarray(d[k]) for d in cms) for k in cms[0]}
+    metrics: Dict[str, float] = {}
+    for key, cm in accum.items():
+        precision, recall, f1 = compute_classification_metrics(cm)
+        for i in range(len(precision)):
+            metrics[f"classification_metrics/{key}_precision_class_{i}"] = float(precision[i])
+            metrics[f"classification_metrics/{key}_recall_class_{i}"] = float(recall[i])
+            metrics[f"classification_metrics/{key}_f1_score_class_{i}"] = float(f1[i])
+    logs.append(metrics)
+
+
+def multiclass_confusion_matrix(logits: jnp.ndarray, targets: jnp.ndarray, num_classes: int,
+                                weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Confusion matrix (rows=true, cols=pred) with optional per-sample weights used to mask
+    padding inside jit (the reference indexes by mask then calls torcheval,
+    src/models/rew_end_model.py:70-88)."""
+    preds = jnp.argmax(logits, axis=-1)
+    onehot_t = jax.nn.one_hot(targets, num_classes, dtype=jnp.float32)
+    onehot_p = jax.nn.one_hot(preds, num_classes, dtype=jnp.float32)
+    if weights is not None:
+        onehot_t = onehot_t * weights[..., None].astype(jnp.float32)
+    return jnp.einsum("...i,...j->ij", onehot_t, onehot_p)
+
+
+# ---------------------------------------------------------------------------
+# Optimization
+
+
+def warmup_then_constant(lr: float, num_warmup_steps: int) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Linear warmup then constant LR (reference: src/utils.py:177-181)."""
+
+    def schedule(step: jnp.ndarray) -> jnp.ndarray:
+        if num_warmup_steps <= 0:
+            return jnp.asarray(lr)
+        frac = jnp.minimum(step / max(1, num_warmup_steps), 1.0)
+        return lr * frac
+
+    return schedule
+
+
+def count_parameters(params: Any) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Misc
+
+
+def set_seed(seed: int) -> None:
+    np.random.seed(seed)
+    random.seed(seed)
+
+
+def skip_if_run_is_over(func: Callable) -> Callable:
+    """reference: src/utils.py:299-308."""
+
+    def inner(*args, **kwargs):
+        path_run_is_over = Path(".run_is_over")
+        if not path_run_is_over.is_file():
+            func(*args, **kwargs)
+            path_run_is_over.touch()
+        else:
+            print(f"Run is marked as finished. To unmark, remove '{path_run_is_over}'.")
+
+    return inner
+
+
+def try_until_no_except(func: Callable) -> None:
+    """reference: src/utils.py:311-320."""
+    while True:
+        try:
+            func()
+        except KeyboardInterrupt:
+            break
+        except Exception:
+            continue
+        else:
+            break
+
+
+class Timer:
+    def __enter__(self) -> "Timer":
+        self.start = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc: Any) -> None:
+        self.elapsed = time.perf_counter() - self.start
