@@ -1,0 +1,82 @@
+"""Host-side batch pipeline: sampler thread -> device transfer queue.
+
+Replaces the reference's DataLoader workers + pinned memory (reference src/trainer.py:140-148,
+SURVEY.md section 2.9): a background thread assembles numpy batches from the episode store and
+stages them with ``jax.device_put`` so the accelerator never waits on the host. Frames cross
+the PCIe/host boundary as uint8 (4x less traffic than the reference's float32 pipeline).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional
+
+import jax
+
+from .batch_sampler import BatchSampler
+from .dataset import Dataset
+from .segment import Batch, collate_segments_to_batch
+
+
+def sample_batch(dataset: Dataset, sampler: BatchSampler) -> Batch:
+    return collate_segments_to_batch([dataset[sid] for sid in sampler.sample()])
+
+
+class BatchPrefetcher:
+    """Infinite iterator of device-resident batches with a lookahead buffer.
+
+    ``device_put`` of the numpy Batch pytree is issued from the producer thread; JAX transfers
+    are async, so compute overlaps the next transfer.
+    """
+
+    def __init__(self, dataset: Dataset, sampler: BatchSampler, prefetch: int = 3,
+                 to_device: bool = True, sharding=None) -> None:
+        self.dataset = dataset
+        self.sampler = sampler
+        self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._to_device = to_device
+        self._sharding = sharding
+        self._thread: Optional[threading.Thread] = None
+
+    def _put_device(self, batch: Batch):
+        arrays = {k: getattr(batch, k) for k in
+                  ("obs", "act", "rew", "end", "trunc", "mask_padding", "final_obs",
+                   "has_final_obs")}
+        if self._to_device:
+            arrays = {k: jax.device_put(v, self._sharding) if self._sharding is not None
+                      else jax.device_put(v) for k, v in arrays.items()}
+        return Batch(**arrays, info=batch.info, segment_ids=batch.segment_ids)
+
+    def _worker(self) -> None:
+        while not self._stop.is_set():
+            try:
+                batch = self._put_device(sample_batch(self.dataset, self.sampler))
+            except Exception as e:  # surface in the consumer
+                self._queue.put(e)
+                return
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(batch, timeout=0.25)
+                    break
+                except queue.Full:
+                    continue
+
+    def start(self) -> "BatchPrefetcher":
+        if self._thread is None or not self._thread.is_alive():
+            self._stop.clear()
+            self._thread = threading.Thread(target=self._worker, daemon=True)
+            self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def __iter__(self) -> Iterator[Batch]:
+        self.start()
+        while True:
+            item = self._queue.get()
+            if isinstance(item, Exception):
+                raise item
+            yield item

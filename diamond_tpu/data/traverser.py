@@ -1,0 +1,43 @@
+"""Deterministic eval iterator: chunk every episode into seq-length windows, drop size-1
+tails, batch them (TPU-native counterpart of reference src/data/utils.py:44-82)."""
+
+from __future__ import annotations
+
+import math
+from typing import Generator
+
+from .dataset import Dataset
+from .segment import Batch, SegmentId, collate_segments_to_batch, make_segment
+
+
+class DatasetTraverser:
+    def __init__(self, dataset: Dataset, batch_num_samples: int, chunk_size: int) -> None:
+        self.dataset = dataset
+        self.batch_num_samples = batch_num_samples
+        self.chunk_size = chunk_size
+
+    def __len__(self) -> int:
+        return math.ceil(sum(
+            math.ceil(self.dataset.lengths[eid] / self.chunk_size)
+            - int(self.dataset.lengths[eid] % self.chunk_size == 1)
+            for eid in range(self.dataset.num_episodes)
+        ) / self.batch_num_samples)
+
+    def __iter__(self) -> Generator[Batch, None, None]:
+        chunks = []
+        for episode_id in range(self.dataset.num_episodes):
+            episode = self.dataset.load_episode(episode_id)
+            chunks.extend(
+                make_segment(episode,
+                             SegmentId(episode_id, i * self.chunk_size,
+                                       (i + 1) * self.chunk_size),
+                             should_pad=True)
+                for i in range(math.ceil(len(episode) / self.chunk_size)))
+            # drop size-1 tails (reference data/utils.py:74-75)
+            if chunks and chunks[-1].effective_size < 2:
+                chunks.pop()
+            while len(chunks) >= self.batch_num_samples:
+                yield collate_segments_to_batch(chunks[: self.batch_num_samples])
+                chunks = chunks[self.batch_num_samples:]
+        if chunks:
+            yield collate_segments_to_batch(chunks)
