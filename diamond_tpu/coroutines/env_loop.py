@@ -1,0 +1,154 @@
+"""Single rollout loop over a host-side env, driving a jitted policy step.
+
+TPU-native counterpart of reference src/coroutines/env_loop.py (used for real-env collection
+and model-free training; imagination training uses the fused on-device scan in
+envs/world_model_env.py instead).
+
+Matched semantics (reference env_loop.py:24-74):
+  * LSTM state carried across sends (functionally detached: it re-enters jit as data),
+  * epsilon-greedy mixing (per-env here; the reference flips the whole batch at once,
+    env_loop.py:34-35 — identical for the default num_envs=1),
+  * on death: value of ``final_observation`` computed with the PRE-reset LSTM state and
+    patched into the previous step's bootstrap (env_loop.py:39-43, 64-70), state zeroed via a
+    reset gate (env_loop.py:50-52), and re-burned-in on ``burnin_obs`` for world-model resets
+    (env_loop.py:53-56),
+  * a final no-state-update value call provides the last bootstrap (env_loop.py:64-66).
+
+Device work per step is exactly two jitted calls (policy step + optional final-obs value);
+frames cross the boundary as uint8.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.episode import obs_to_float
+from ..models.actor_critic import ActorCritic
+
+
+class EnvLoop:
+    def __init__(self, env: Any, actor_critic: ActorCritic,
+                 get_variables: Callable[[], Any], epsilon: float = 0.0,
+                 seed: Optional[int] = None) -> None:
+        self.env = env
+        self.ac = actor_critic
+        self.get_variables = get_variables
+        self.epsilon = float(epsilon)
+        self._rng = np.random.default_rng(seed)
+        self._base_key = jax.random.PRNGKey(
+            seed if seed is not None else int(self._rng.integers(0, 2 ** 31 - 1)))
+        self._step_count = 0
+        self._state: Optional[Tuple] = None
+
+        num_actions = env.num_actions
+
+        @jax.jit
+        def policy_step(variables, obs_u8, hx, cx, reset_mask, key, step, epsilon):
+            # zero LSTM state of envs that died last step (reference env_loop.py:50-52)
+            gate = 1.0 - reset_mask.astype(jnp.float32)[:, None]
+            hx, cx = hx * gate, cx * gate
+            out = self.ac.predict_act_value(variables, obs_to_float(obs_u8), (hx, cx))
+            k1, k2, k3 = jax.random.split(jax.random.fold_in(key, step), 3)
+            act = jax.random.categorical(k1, out.logits_act, axis=-1)
+            rand_act = jax.random.randint(k2, act.shape, 0, num_actions)
+            explore = jax.random.uniform(k3, act.shape) < epsilon
+            act = jnp.where(explore, rand_act, act)
+            return act, out.logits_act, out.val, out.carry[0], out.carry[1]
+
+        @jax.jit
+        def value_only(variables, obs_u8, hx, cx):
+            # value estimate WITHOUT updating the state (reference env_loop.py:41,64-66)
+            out = self.ac.predict_act_value(variables, obs_to_float(obs_u8), (hx, cx))
+            return out.val
+
+        @jax.jit
+        def burnin_steps(variables, burnin_obs_u8, hx, cx):
+            # replay the conditioning frames through the policy net (reference
+            # env_loop.py:53-56); burnin_obs (B, K, H, W, C)
+            def step(carry, obs):
+                out = self.ac.predict_act_value(variables, obs_to_float(obs), carry)
+                return out.carry, None
+
+            (hx, cx), _ = jax.lax.scan(step, (hx, cx),
+                                       jnp.moveaxis(burnin_obs_u8, 0, 1))
+            return hx, cx
+
+        self._policy_step = policy_step
+        self._value_only = value_only
+        self._burnin_steps = burnin_steps
+
+    def reset(self) -> None:
+        """(Re)start the loop: env reset with per-env seeds, zero LSTM state
+        (reference env_loop.py:18-22)."""
+        b = self.env.num_envs
+        d = self.ac.cfg.lstm_dim
+        seed = int(self._rng.integers(0, 2 ** 31 - 1))
+        obs, _ = self.env.reset(seed=[seed + i for i in range(b)])
+        hx = jnp.zeros((b, d), jnp.float32)
+        cx = jnp.zeros((b, d), jnp.float32)
+        self._state = (obs, hx, cx, np.zeros(b, bool), None)
+
+    def send(self, num_steps: int) -> Tuple:
+        """Step the env ``num_steps`` times; returns stacked (B, T, ...) numpy arrays
+        (obs, act, rew, end, trunc, logits_act, val, val_bootstrap) + list of infos."""
+        if self._state is None:
+            self.reset()
+        variables = self.get_variables()
+        obs, hx, cx, prev_dead, val_final_obs = self._state
+
+        steps: List[List[Any]] = []
+        infos: List[Dict[str, Any]] = []
+
+        for _ in range(num_steps):
+            act, logits, val, hx, cx = self._policy_step(
+                variables, obs, hx, cx, jnp.asarray(prev_dead), self._base_key,
+                self._step_count, self.epsilon)
+            self._step_count += 1
+            act_np = np.asarray(act)
+
+            next_obs, rew, end, trunc, info = self.env.step(act_np)
+
+            # patch previous step's bootstrap with this step's value (detached), unless the
+            # env died there (then it is the final-obs value) — reference env_loop.py:39-43
+            if steps:
+                val_bootstrap = np.array(val)  # writable copy
+                if prev_dead.any():
+                    val_bootstrap[prev_dead] = np.asarray(val_final_obs)[prev_dead]
+                steps[-1][-1] = val_bootstrap
+
+            dead = np.asarray(end) | np.asarray(trunc)
+            if dead.any():
+                # value of the true final obs with the PRE-reset state
+                final_full = np.array(next_obs, copy=True)
+                final_full[dead] = info["final_observation"]
+                val_final_obs = self._value_only(variables, final_full, hx, cx)
+                if "burnin_obs" in info:
+                    # world-model resets: re-burn-in the policy LSTM on the new context
+                    gate = jnp.asarray(~dead, jnp.float32)[:, None]
+                    bh, bc = self._burnin_steps(variables, jnp.asarray(info["burnin_obs"]),
+                                                hx * gate, cx * gate)
+                    mask = jnp.asarray(dead)[:, None]
+                    hx = jnp.where(mask, bh, hx)
+                    cx = jnp.where(mask, bc, cx)
+
+            steps.append([obs, act_np, np.asarray(rew), np.asarray(end, np.uint8),
+                          np.asarray(trunc, np.uint8), np.asarray(logits), np.asarray(val),
+                          None])
+            infos.append(info)
+            obs = next_obs
+            prev_dead = dead
+
+        # last step's bootstrap: value of next_obs without state update
+        val_bootstrap = np.array(self._value_only(variables, obs, hx, cx))
+        if prev_dead.any():
+            val_bootstrap[prev_dead] = np.asarray(val_final_obs)[prev_dead]
+        steps[-1][-1] = val_bootstrap
+
+        self._state = (obs, hx, cx, prev_dead, val_final_obs)
+        stacked = tuple(np.stack(x, axis=1) for x in zip(*steps))
+        return (*stacked, infos)

@@ -1,0 +1,100 @@
+"""Fake-env integration tests: env contract, env-loop death handling, collector/dataset
+round-trips across collect boundaries (SURVEY.md section 4, item 4)."""
+
+import numpy as np
+import jax
+
+from diamond_tpu.coroutines import Collector, EnvLoop, NumToCollect
+from diamond_tpu.data import Dataset
+from diamond_tpu.envs import FakeEnv, make_env
+from diamond_tpu.models import ActorCritic, ActorCriticConfig
+
+SIZE = 32
+
+
+def small_ac(num_actions=3):
+    cfg = ActorCriticConfig(lstm_dim=32, img_channels=3, img_size=SIZE, channels=[8, 8],
+                            down=[1, 1], num_actions=num_actions)
+    ac = ActorCritic(cfg)
+    variables = ac.init(jax.random.PRNGKey(0))
+    return ac, variables
+
+
+def test_fake_env_contract():
+    env = make_env("Fake-v0", num_envs=4, done_on_life_loss=False, size=SIZE,
+                   max_episode_steps=20)
+    obs, _ = env.reset(seed=[1, 2, 3, 4])
+    assert obs.shape == (4, SIZE, SIZE, 3) and obs.dtype == np.uint8
+    deaths = 0
+    for t in range(40):
+        obs, rew, end, trunc, info = env.step(np.zeros(4, np.int64))
+        assert obs.shape == (4, SIZE, SIZE, 3)
+        dead = end | trunc
+        if dead.any():
+            deaths += int(dead.sum())
+            assert info["final_observation"].shape == (int(dead.sum()), SIZE, SIZE, 3)
+    assert deaths > 0  # with noop policy, balls get missed / truncation triggers
+
+    # determinism under the same seeds
+    env2 = make_env("Fake-v0", num_envs=4, done_on_life_loss=False, size=SIZE,
+                    max_episode_steps=20)
+    o1, _ = env.reset(seed=[9, 9, 9, 9])
+    o2, _ = env2.reset(seed=[9, 9, 9, 9])
+    np.testing.assert_array_equal(o1, o2)
+    s1 = env.step(np.ones(4, np.int64))[0]
+    s2 = env2.step(np.ones(4, np.int64))[0]
+    np.testing.assert_array_equal(s1, s2)
+
+
+def test_env_loop_shapes_and_bootstrap():
+    env = FakeEnv(num_envs=3, size=SIZE, max_episode_steps=8)
+    ac, variables = small_ac()
+    loop = EnvLoop(env, ac, lambda: variables, epsilon=0.1, seed=0)
+    obs, act, rew, end, trunc, logits, val, val_boot, infos = loop.send(12)
+    assert obs.shape == (3, 12, SIZE, SIZE, 3)
+    assert act.shape == rew.shape == end.shape == trunc.shape == val.shape == (3, 12)
+    assert logits.shape == (3, 12, 3)
+    assert val_boot.shape == (3, 12)
+    assert len(infos) == 12
+    # with max_episode_steps=8, every env truncated at least once in 12 steps
+    assert (end + trunc).sum() >= 3
+    # zero-init heads -> all values zero, so bootstraps are zero too
+    np.testing.assert_allclose(val_boot, 0, atol=1e-6)
+    # state persists across sends
+    loop.send(3)
+
+
+def test_collector_roundtrip(tmp_path):
+    env = FakeEnv(num_envs=2, size=SIZE, max_episode_steps=10)
+    ac, variables = small_ac()
+    ds = Dataset(tmp_path / "train", "train_dataset", cache_in_ram=True)
+    col = Collector(env, ac, lambda: variables, ds, epsilon=0.0, seed=0, verbose=False)
+
+    logs = col.send(NumToCollect(steps=25))
+    # steps are counted across envs (reference collector.py:57); incomplete episodes are
+    # stored in train mode, so every collected transition lands in the dataset
+    total = sum(ds.lengths)
+    assert ds.num_steps == total >= 25
+    assert any(f"{ds.name}/num_steps" in d for d in logs)
+
+    # ongoing episodes extended across collect boundaries without duplication
+    col.send(NumToCollect(steps=10))
+    assert ds.num_steps >= total + 10
+    # episodes with end=1 have final_observation in info
+    for eid in range(ds.num_episodes):
+        ep = ds.load_episode(eid)
+        if ep.end.sum() > 0:
+            assert "final_observation" in ep.info
+            assert ep.info["final_observation"].shape == (SIZE, SIZE, 3)
+        # monotone structure: dead only at the last step
+        assert ep.dead[:-1].sum() == 0
+
+    # episode-count mode with reset_every_collect (test collection)
+    ds2 = Dataset(tmp_path / "test", "test_dataset", cache_in_ram=True)
+    col2 = Collector(env, ac, lambda: variables, ds2, reset_every_collect=True, seed=1,
+                     verbose=False)
+    col2.send(NumToCollect(episodes=3))
+    assert ds2.num_episodes >= 3
+    # all stored episodes are complete (dead at the end)
+    for eid in range(ds2.num_episodes):
+        assert ds2.load_episode(eid).dead[-1] == 1
