@@ -16,11 +16,15 @@ import jax
 
 from .batch_sampler import BatchSampler
 from .dataset import Dataset
-from .segment import Batch, collate_segments_to_batch
+from .segment import Batch, DeviceBatch, collate_segments_to_batch
 
 
 def sample_batch(dataset: Dataset, sampler: BatchSampler) -> Batch:
     return collate_segments_to_batch([dataset[sid] for sid in sampler.sample()])
+
+
+def sample_device_batch(dataset: Dataset, sampler: BatchSampler) -> DeviceBatch:
+    return DeviceBatch.from_batch(sample_batch(dataset, sampler))
 
 
 class BatchPrefetcher:
@@ -40,14 +44,13 @@ class BatchPrefetcher:
         self._sharding = sharding
         self._thread: Optional[threading.Thread] = None
 
-    def _put_device(self, batch: Batch):
-        arrays = {k: getattr(batch, k) for k in
-                  ("obs", "act", "rew", "end", "trunc", "mask_padding", "final_obs",
-                   "has_final_obs")}
+    def _put_device(self, batch: Batch) -> DeviceBatch:
+        db = DeviceBatch.from_batch(batch)
         if self._to_device:
-            arrays = {k: jax.device_put(v, self._sharding) if self._sharding is not None
-                      else jax.device_put(v) for k, v in arrays.items()}
-        return Batch(**arrays, info=batch.info, segment_ids=batch.segment_ids)
+            db = jax.tree_util.tree_map(
+                lambda v: jax.device_put(v, self._sharding) if self._sharding is not None
+                else jax.device_put(v), db)
+        return db
 
     def _worker(self) -> None:
         while not self._stop.is_set():

@@ -13,6 +13,7 @@ from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
 
 import numpy as np
+from flax import struct
 
 from .episode import Episode
 
@@ -60,6 +61,26 @@ class Batch:
     has_final_obs: np.ndarray  # bool (B,)
     info: List[Dict[str, Any]] = field(default_factory=list)
     segment_ids: List[SegmentId] = field(default_factory=list)
+
+
+class DeviceBatch(struct.PyTreeNode):
+    """The jit-facing view of a Batch: just the dense arrays (host-only info/segment_ids
+    stripped). This is what crosses the host->device boundary; obs/final_obs stay uint8."""
+
+    obs: Any            # uint8 (B, T, H, W, C)
+    act: Any            # int32 (B, T)
+    rew: Any            # float32 (B, T)
+    end: Any            # int32 (B, T)
+    trunc: Any          # int32 (B, T)
+    mask_padding: Any   # bool (B, T)
+    final_obs: Any      # uint8 (B, H, W, C)
+    has_final_obs: Any  # bool (B,)
+
+    @classmethod
+    def from_batch(cls, batch: "Batch") -> "DeviceBatch":
+        return cls(obs=batch.obs, act=batch.act, rew=batch.rew, end=batch.end,
+                   trunc=batch.trunc, mask_padding=batch.mask_padding,
+                   final_obs=batch.final_obs, has_final_obs=batch.has_final_obs)
 
 
 def make_segment(episode: Episode, segment_id: SegmentId, should_pad: bool = True) -> Segment:

@@ -1,0 +1,288 @@
+"""Imagination MDP on device: the world model as an environment.
+
+TPU-native counterpart of reference src/envs/world_model_env.py — but re-architected: instead
+of a Python object stepped from a coroutine with two torch.compile'd fragments
+(reference world_model_env.py:65-105, trainer.py:182-184), the entire rollout
+(policy step -> diffusion sampler -> reward/end LSTM -> masked resets) is ONE ``lax.scan``
+inside a single jitted function. There is no host round-trip anywhere in the imagination hot
+loop (SURVEY.md section 7, design decision 2).
+
+Dead-env resets: the reference refills from a generator that preloads real segments and
+burns in the reward/end LSTM (world_model_env.py:107-139). Here those initial conditions are
+pre-staged on device as an ``ICPool``; each dying env pulls the next pool entry with a gather
+and a ``where``-swap — same semantics, static shapes.
+
+A stateful ``WorldModelEnv`` class with the reference's reset/step env API (for the play app)
+lives in envs/wm_env_stateful.py, built on the same transition functions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..data.episode import obs_to_float
+from ..models.actor_critic import ActorCritic
+from ..models.denoiser import Denoiser
+from ..models.diffusion_sampler import DiffusionSampler, DiffusionSamplerConfig
+from ..models.rew_end_model import RewEndModel
+
+Variables = Any
+
+
+@dataclass
+class WorldModelEnvConfig:
+    """reference: src/envs/world_model_env.py:19-23."""
+
+    horizon: int
+    num_batches_to_preload: int
+    diffusion_sampler: DiffusionSamplerConfig
+
+    @classmethod
+    def from_cfg(cls, cfg: Any) -> "WorldModelEnvConfig":
+        return cls(
+            horizon=cfg.horizon,
+            num_batches_to_preload=cfg.num_batches_to_preload,
+            diffusion_sampler=DiffusionSamplerConfig.from_cfg(cfg.diffusion_sampler),
+        )
+
+
+class ICPool(struct.PyTreeNode):
+    """Pre-staged initial conditions: real conditioning segments + burned-in reward/end LSTM
+    state (the device-resident equivalent of reference world_model_env.py:107-139).
+    obs is uint8 — converted on gather."""
+
+    obs: jnp.ndarray   # (P, n_cond, H, W, C) uint8
+    act: jnp.ndarray   # (P, n_cond) int32
+    hx: jnp.ndarray    # (P, D) float32
+    cx: jnp.ndarray    # (P, D) float32
+    ptr: jnp.ndarray   # () int32 — next unconsumed entry
+
+    @property
+    def size(self) -> int:
+        return self.obs.shape[0]
+
+
+class ImagState(struct.PyTreeNode):
+    """Per-env imagination state carried across AC train steps (the rolling buffers +
+    recurrent carries of reference world_model_env.py:47-53 and env_loop.py:18-19)."""
+
+    obs_buffer: jnp.ndarray  # (B, n_cond, H, W, C) float32 in [-1, 1]
+    act_buffer: jnp.ndarray  # (B, n_cond) int32
+    re_hx: jnp.ndarray       # (B, D) reward/end LSTM
+    re_cx: jnp.ndarray
+    ac_hx: jnp.ndarray       # (B, D) policy LSTM
+    ac_cx: jnp.ndarray
+    ep_len: jnp.ndarray      # (B,) int32
+
+
+def make_ic_preparer(rew_end_model: RewEndModel):
+    """Jitted: burn in the reward/end LSTM over the conditioning transitions of real segments
+    (reference world_model_env.py:117-124). obs_u8: (N, n_cond, H, W, C)."""
+
+    @jax.jit
+    def prepare(r_vars: Variables, obs_u8: jnp.ndarray, act: jnp.ndarray):
+        obs = obs_to_float(obs_u8)
+        *_, (hx, cx) = rew_end_model.predict_rew_end(
+            r_vars, obs[:, :-1], act[:, :-1], obs[:, 1:])
+        return hx, cx
+
+    return prepare
+
+
+class ImaginationEngine:
+    """Builds the fused scan rollout and the stateful single-step used by WorldModelEnv."""
+
+    def __init__(self, denoiser: Denoiser, rew_end_model: RewEndModel,
+                 actor_critic: ActorCritic, cfg: WorldModelEnvConfig) -> None:
+        self.denoiser = denoiser
+        self.rew_end_model = rew_end_model
+        self.actor_critic = actor_critic
+        self.cfg = cfg
+        self.sampler = DiffusionSampler(denoiser, cfg.diffusion_sampler)
+
+    # -- shared single WM transition (pure) ----------------------------------
+
+    def _wm_transition(self, d_vars: Variables, r_vars: Variables, st: ImagState,
+                       act: jnp.ndarray, rng: jax.Array):
+        """One world-model step: sample next frame, predict+sample reward/end, roll buffers
+        (reference world_model_env.py:65-105 without the reset block). Everything is
+        stop_gradient (the reference runs it all under @torch.no_grad)."""
+        k_sample, k_rew, k_end = jax.random.split(rng, 3)
+        act_buffer = st.act_buffer.at[:, -1].set(act)
+
+        next_obs, _ = self.sampler.sample(d_vars, k_sample, st.obs_buffer, act_buffer)
+        next_obs = jax.lax.stop_gradient(next_obs)
+
+        logits_rew, logits_end, (re_hx, re_cx) = self.rew_end_model.predict_rew_end(
+            r_vars, st.obs_buffer[:, -1:], act_buffer[:, -1:], next_obs[:, None],
+            (st.re_hx, st.re_cx))
+        logits_rew = jax.lax.stop_gradient(logits_rew[:, 0])
+        logits_end = jax.lax.stop_gradient(logits_end[:, 0])
+        rew = jax.random.categorical(k_rew, logits_rew).astype(jnp.float32) - 1.0
+        end = jax.random.categorical(k_end, logits_end).astype(jnp.int32)
+
+        ep_len = st.ep_len + 1
+        trunc = (ep_len >= self.cfg.horizon).astype(jnp.int32)
+
+        obs_buffer = jnp.concatenate([st.obs_buffer[:, 1:], next_obs[:, None]], axis=1)
+        act_buffer = jnp.concatenate([act_buffer[:, 1:], act_buffer[:, -1:]], axis=1)
+
+        st = st.replace(obs_buffer=obs_buffer, act_buffer=act_buffer,
+                        re_hx=jax.lax.stop_gradient(re_hx),
+                        re_cx=jax.lax.stop_gradient(re_cx), ep_len=ep_len)
+        return st, next_obs, rew, end, trunc
+
+    def _reset_dead(self, st: ImagState, pool: ICPool, dead: jnp.ndarray
+                    ) -> Tuple[ImagState, ICPool]:
+        """Masked pool pull for dead envs (reference world_model_env.py:56-62)."""
+        dead_i = dead.astype(jnp.int32)
+        before = jnp.cumsum(dead_i) - dead_i  # exclusive prefix count of deaths
+        idx = jnp.where(dead, (pool.ptr + before) % pool.size, 0)
+
+        new_obs = obs_to_float(jnp.take(pool.obs, idx, axis=0))
+        new_act = jnp.take(pool.act, idx, axis=0)
+        new_hx = jnp.take(pool.hx, idx, axis=0)
+        new_cx = jnp.take(pool.cx, idx, axis=0)
+
+        m4 = dead[:, None, None, None, None]
+        m2 = dead[:, None]
+        st = st.replace(
+            obs_buffer=jnp.where(m4, new_obs, st.obs_buffer),
+            act_buffer=jnp.where(m2, new_act, st.act_buffer),
+            re_hx=jnp.where(m2, new_hx, st.re_hx),
+            re_cx=jnp.where(m2, new_cx, st.re_cx),
+            ep_len=jnp.where(dead, 0, st.ep_len),
+        )
+        pool = pool.replace(ptr=pool.ptr + dead_i.sum())
+        return st, pool
+
+    # -- fused rollout for AC training ---------------------------------------
+
+    def rollout(self, ac_vars: Variables, d_vars: Variables, r_vars: Variables,
+                st: ImagState, pool: ICPool, rng: jax.Array, num_steps: int):
+        """Roll ``num_steps`` of imagination with the policy in the loop; gradients flow to
+        ``ac_vars`` only (reference call stack SURVEY.md section 3.4).
+
+        Returns (trajectory dict of (B, T) arrays, new state, new pool).
+        """
+        ac = self.actor_critic
+
+        def scan_step(carry, step_rng):
+            st, pool = carry
+            k_act, k_wm = jax.random.split(step_rng)
+
+            # policy step WITH grad (reference env_loop.py:31-32)
+            out = ac.predict_act_value(ac_vars, st.obs_buffer[:, -1], (st.ac_hx, st.ac_cx))
+            act = jax.random.categorical(k_act, out.logits_act, axis=-1)
+
+            # world-model step (no grad)
+            st2, next_obs, rew, end, trunc, = self._wm_transition(d_vars, r_vars, st, act,
+                                                                  k_wm)
+            dead = (end + trunc) > 0
+
+            # value of the final obs with the PRE-reset policy carry, no grad
+            # (reference env_loop.py:46-48)
+            val_final = jax.lax.stop_gradient(
+                ac.predict_act_value(ac_vars, next_obs, out.carry).val)
+
+            st2 = st2.replace(ac_hx=out.carry[0], ac_cx=out.carry[1])
+            st2, pool = self._reset_dead(st2, pool, dead)
+
+            # policy-LSTM reset + burn-in on the new context frames, WITH grad
+            # (reference env_loop.py:50-56). Burn-in replays obs_buffer[:, :-1] (the IC's
+            # first n_cond-1 frames) from a zero state; computed for all envs, applied to
+            # dead ones.
+            def burn(carry, obs_t):
+                o = ac.predict_act_value(ac_vars, obs_t, carry)
+                return o.carry, None
+
+            zeros = (jnp.zeros_like(st2.ac_hx), jnp.zeros_like(st2.ac_cx))
+            (b_hx, b_cx), _ = jax.lax.scan(
+                burn, zeros, jnp.moveaxis(st2.obs_buffer[:, :-1], 0, 1))
+            m2 = dead[:, None]
+            st2 = st2.replace(ac_hx=jnp.where(m2, b_hx, st2.ac_hx),
+                              ac_cx=jnp.where(m2, b_cx, st2.ac_cx))
+
+            ys = dict(act=act, rew=rew, end=end, trunc=trunc, logits_act=out.logits_act,
+                      val=out.val, val_final=val_final, dead=dead)
+            return (st2, pool), ys
+
+        step_rngs = jax.random.split(rng, num_steps)
+        (st, pool), traj = jax.lax.scan(scan_step, (st, pool), step_rngs)
+        # scan stacks along axis 0 (time); transpose to (B, T)
+        traj = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 0, 1), traj)
+
+        # bootstrap values: next step's value, except the final-obs value where the env died
+        # (reference env_loop.py:39-43, 64-70)
+        val_extra = jax.lax.stop_gradient(
+            ac.predict_act_value(ac_vars, st.obs_buffer[:, -1],
+                                 (st.ac_hx, st.ac_cx)).val)
+        val_next = jnp.concatenate(
+            [jax.lax.stop_gradient(traj["val"][:, 1:]), val_extra[:, None]], axis=1)
+        traj["val_bootstrap"] = jnp.where(traj["dead"], traj["val_final"], val_next)
+        return traj, st, pool
+
+    # -- initial state --------------------------------------------------------
+
+    def initial_state(self, pool: ICPool, batch_size: int) -> Tuple[ImagState, ICPool]:
+        """Fill all envs from the pool (reference world_model_env.py:45-53: env.reset) with
+        zero policy LSTM state (reference env_loop.py:18-19: no initial burn-in)."""
+        d = self.actor_critic.cfg.lstm_dim
+        idx = (pool.ptr + jnp.arange(batch_size)) % pool.size
+        st = ImagState(
+            obs_buffer=obs_to_float(jnp.take(pool.obs, idx, axis=0)),
+            act_buffer=jnp.take(pool.act, idx, axis=0),
+            re_hx=jnp.take(pool.hx, idx, axis=0),
+            re_cx=jnp.take(pool.cx, idx, axis=0),
+            ac_hx=jnp.zeros((batch_size, d), jnp.float32),
+            ac_cx=jnp.zeros((batch_size, d), jnp.float32),
+            ep_len=jnp.zeros((batch_size,), jnp.int32),
+        )
+        return st, pool.replace(ptr=pool.ptr + batch_size)
+
+
+class PoolManager:
+    """Host-side refill of the device IC pool from the episode dataset (replaces the
+    reference's generator_init DataLoader preloading, world_model_env.py:107-139)."""
+
+    def __init__(self, engine: ImaginationEngine, dataset, sampler, pool_size: int,
+                 chunk: int = 1024) -> None:
+        self.engine = engine
+        self.dataset = dataset
+        self.sampler = sampler  # BatchSampler with batch_size == chunk, seq_length == n_cond
+        self.pool_size = pool_size
+        self.chunk = chunk
+        self._prepare = make_ic_preparer(engine.rew_end_model)
+
+    def build_pool(self, r_vars: Variables) -> ICPool:
+        obs_list, act_list, hx_list, cx_list = [], [], [], []
+        remaining = self.pool_size
+        while remaining > 0:
+            n = min(self.chunk, remaining)
+            ids = self.sampler.sample()[:n]
+            segs = [self.dataset[sid] for sid in ids]
+            obs = np.stack([s.obs for s in segs])
+            act = np.stack([s.act for s in segs]).astype(np.int32)
+            hx, cx = self._prepare(r_vars, jnp.asarray(obs), jnp.asarray(act))
+            obs_list.append(obs)
+            act_list.append(act)
+            hx_list.append(hx)
+            cx_list.append(cx)
+            remaining -= n
+        return ICPool(
+            obs=jnp.asarray(np.concatenate(obs_list)),
+            act=jnp.asarray(np.concatenate(act_list)),
+            hx=jnp.concatenate(hx_list),
+            cx=jnp.concatenate(cx_list),
+            ptr=jnp.asarray(0, jnp.int32),
+        )
+
+    def needs_refill(self, pool: ICPool, max_consumption: int) -> bool:
+        return int(pool.ptr) + max_consumption > pool.size

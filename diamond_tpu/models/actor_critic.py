@@ -202,7 +202,7 @@ def compute_lambda_returns(rew: jnp.ndarray, end: jnp.ndarray, trunc: jnp.ndarra
     trunc = trunc.astype(jnp.float32)
     val_bootstrap = val_bootstrap.astype(jnp.float32)
 
-    end_or_trunc = jnp.clip(end + trunc, a_max=1.0)
+    end_or_trunc = jnp.clip(end + trunc, max=1.0)
     not_end = 1.0 - end
     not_trunc = 1.0 - trunc
 

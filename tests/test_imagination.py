@@ -1,0 +1,146 @@
+"""Tests of the fused imagination rollout (the system's hot path, SURVEY.md section 3.4):
+pool consumption, horizon truncation, reset semantics, determinism, and a full jitted AC
+train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diamond_tpu.envs.world_model_env import (ICPool, ImaginationEngine, PoolManager,
+                                              WorldModelEnvConfig, make_ic_preparer)
+from diamond_tpu.models import (ActorCritic, ActorCriticConfig, ActorCriticLossConfig,
+                                Denoiser, DenoiserConfig, DiffusionSamplerConfig,
+                                InnerModelConfig, RewEndModel, RewEndModelConfig)
+from diamond_tpu.training import TrainState, configure_opt, make_ac_train_step
+
+IMG, C, NC, NA, D = 16, 3, 4, 3, 32
+B = 4
+HORIZON = 5
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = jax.random.PRNGKey(0)
+    denoiser = Denoiser(DenoiserConfig(
+        inner_model=InnerModelConfig(img_channels=C, num_steps_conditioning=NC,
+                                     cond_channels=16, depths=[1, 1], channels=[8, 8],
+                                     attn_depths=[0, 0], num_actions=NA),
+        sigma_data=0.5, sigma_offset_noise=0.3))
+    rew_end = RewEndModel(RewEndModelConfig(lstm_dim=D, img_channels=C, img_size=IMG,
+                                            cond_channels=8, depths=[1, 1], channels=[8, 8],
+                                            attn_depths=[0, 0], num_actions=NA))
+    ac = ActorCritic(ActorCriticConfig(lstm_dim=D, img_channels=C, img_size=IMG,
+                                       channels=[8, 8], down=[1, 1], num_actions=NA))
+    r1, r2, r3 = jax.random.split(rng, 3)
+    d_vars = denoiser.init(r1, img_size=IMG)
+    r_vars = rew_end.init(r2)
+    ac_vars = ac.init(r3)
+    cfg = WorldModelEnvConfig(horizon=HORIZON, num_batches_to_preload=2,
+                              diffusion_sampler=DiffusionSamplerConfig(num_steps_denoising=2))
+    engine = ImaginationEngine(denoiser, rew_end, ac, cfg)
+    return engine, d_vars, r_vars, ac_vars
+
+
+def make_pool(engine, r_vars, size=64, seed=0):
+    rng = np.random.default_rng(seed)
+    obs_u8 = rng.integers(0, 255, (size, NC, IMG, IMG, C), dtype=np.uint8)
+    act = rng.integers(0, NA, (size, NC)).astype(np.int32)
+    prepare = make_ic_preparer(engine.rew_end_model)
+    hx, cx = prepare(r_vars, jnp.asarray(obs_u8), jnp.asarray(act))
+    return ICPool(obs=jnp.asarray(obs_u8), act=jnp.asarray(act), hx=hx, cx=cx,
+                  ptr=jnp.asarray(0, jnp.int32))
+
+
+def test_rollout_shapes_truncation_and_pool(setup):
+    engine, d_vars, r_vars, ac_vars = setup
+    pool = make_pool(engine, r_vars)
+    st, pool = engine.initial_state(pool, B)
+    assert int(pool.ptr) == B
+
+    T = 12  # > horizon: every env must truncate at least once
+    traj, st2, pool2 = jax.jit(engine.rollout, static_argnums=(6,))(
+        ac_vars, d_vars, r_vars, st, pool, jax.random.PRNGKey(1), T)
+
+    assert traj["act"].shape == (B, T)
+    assert traj["logits_act"].shape == (B, T, NA)
+    assert traj["val_bootstrap"].shape == (B, T)
+    deaths = int(np.asarray(traj["dead"]).sum())
+    assert deaths > 0, "untrained end-head fires ~50%/step: deaths must occur"
+    assert int(pool2.ptr) == B + deaths, "each death consumes exactly one pool entry"
+    # ep_len never exceeds horizon
+    assert int(jnp.max(st2.ep_len)) <= HORIZON
+    # rewards in {-1, 0, 1}
+    assert set(np.unique(np.asarray(traj["rew"]))) <= {-1.0, 0.0, 1.0}
+
+
+def test_wm_transition_truncates_at_horizon(setup):
+    """trunc fires exactly when ep_len reaches the horizon (reference
+    world_model_env.py:71-72), independent of the sampled end."""
+    engine, d_vars, r_vars, ac_vars = setup
+    pool = make_pool(engine, r_vars)
+    st, _ = engine.initial_state(pool, B)
+    st = st.replace(ep_len=jnp.asarray([HORIZON - 1, HORIZON - 2, 0, HORIZON - 1],
+                                       jnp.int32))
+    act = jnp.zeros((B,), jnp.int32)
+    st2, next_obs, rew, end, trunc = jax.jit(engine._wm_transition)(
+        d_vars, r_vars, st, act, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(trunc), [1, 0, 0, 1])
+    np.testing.assert_array_equal(np.asarray(st2.ep_len),
+                                  [HORIZON, HORIZON - 1, 1, HORIZON])
+    # next frame is on the uint8 grid (denoiser quantization)
+    o = np.asarray(next_obs)
+    np.testing.assert_allclose(np.round((o + 1) / 2 * 255) / 255 * 2 - 1, o, atol=1e-5)
+
+
+def test_rollout_deterministic(setup):
+    engine, d_vars, r_vars, ac_vars = setup
+    pool = make_pool(engine, r_vars)
+    st, pool = engine.initial_state(pool, B)
+    f = jax.jit(engine.rollout, static_argnums=(6,))
+    t1, *_ = f(ac_vars, d_vars, r_vars, st, pool, jax.random.PRNGKey(7), 6)
+    t2, *_ = f(ac_vars, d_vars, r_vars, st, pool, jax.random.PRNGKey(7), 6)
+    np.testing.assert_allclose(np.asarray(t1["rew"]), np.asarray(t2["rew"]))
+    np.testing.assert_allclose(np.asarray(t1["val"]), np.asarray(t2["val"]))
+
+
+def test_val_bootstrap_alignment(setup):
+    """For steps where the env did NOT die, bootstrap[t] must equal val[t+1]."""
+    engine, d_vars, r_vars, ac_vars = setup
+    pool = make_pool(engine, r_vars)
+    st, pool = engine.initial_state(pool, B)
+    traj, *_ = jax.jit(engine.rollout, static_argnums=(6,))(
+        ac_vars, d_vars, r_vars, st, pool, jax.random.PRNGKey(3), 8)
+    val = np.asarray(traj["val"])
+    boot = np.asarray(traj["val_bootstrap"])
+    dead = np.asarray(traj["dead"])
+    alive = ~dead[:, :-1]
+    np.testing.assert_allclose(boot[:, :-1][alive], val[:, 1:][alive], rtol=1e-5)
+    # where dead, bootstrap is the final-obs value
+    vf = np.asarray(traj["val_final"])
+    np.testing.assert_allclose(boot[dead], vf[dead], rtol=1e-5)
+
+
+def test_ac_train_step_updates_policy(setup):
+    engine, d_vars, r_vars, ac_vars = setup
+    pool = make_pool(engine, r_vars, size=256)
+    st, pool = engine.initial_state(pool, B)
+    loss_cfg = ActorCriticLossConfig(backup_every=6, gamma=0.985, lambda_=0.95,
+                                     weight_value_loss=1.0, weight_entropy_loss=0.001)
+    tx = configure_opt(1e-3, 0.0, 1e-8, max_grad_norm=100.0, lr_warmup_steps=0)
+    step_fn = make_ac_train_step(engine, engine.actor_critic, tx, loss_cfg)
+    # the train step donates TrainState buffers; snapshot initial params to host first
+    init_leaves = [np.array(x) for x in jax.tree_util.tree_leaves(ac_vars["params"])]
+    state = TrainState.create(jax.tree_util.tree_map(jnp.array, ac_vars["params"]), tx)
+
+    for i in range(3):
+        state, st, pool, metrics = step_fn(state, d_vars, r_vars, st, pool,
+                                           jax.random.PRNGKey(10 + i))
+    assert int(state.step) == 3
+    assert np.isfinite(float(metrics["loss_total"]))
+    assert float(metrics["grad_norm_before_clip"]) > 0
+    # params moved
+    moved = any(
+        not np.allclose(a, np.asarray(b))
+        for a, b in zip(init_leaves, jax.tree_util.tree_leaves(state.params)))
+    assert moved
