@@ -1,0 +1,61 @@
+"""Training CLI.
+
+TPU-native counterpart of reference src/main.py. Same override surface
+(``python -m diamond_tpu.main env.train.id=PongNoFrameskip-v4 common.seed=1``) without Hydra;
+each run owns a fresh run dir ``outputs/<date>/<time>`` (reference config/trainer.yaml:6-8)
+unless ``--run-dir`` / resume says otherwise.
+
+No mp.spawn / process groups: one process drives every local device; data parallelism is a
+mesh axis inside the jitted train steps (reference main.py:26-44 spawned one process per GPU
+with NCCL — SURVEY.md section 2.8).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import sys
+from pathlib import Path
+
+from .config import load_config
+from .trainer import Trainer
+from .utils import skip_if_run_is_over
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Train DIAMOND (TPU-native)")
+    parser.add_argument("overrides", nargs="*", help="config overrides, key=value")
+    parser.add_argument("--run-dir", type=Path, default=None,
+                        help="run directory (default: outputs/<date>/<time>)")
+    parser.add_argument("--config-dir", type=Path, default=None)
+    parser.add_argument("--config-name", type=str, default="trainer")
+    return parser.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    cfg = load_config(args.config_name, overrides=args.overrides,
+                      config_dir=args.config_dir)
+
+    root_dir = Path(__file__).resolve().parents[1]
+    if args.run_dir is not None:
+        run_dir = args.run_dir
+    elif cfg.common.resume:
+        run_dir = Path.cwd()
+    else:
+        now = datetime.datetime.now()
+        run_dir = Path("outputs") / now.strftime("%Y-%m-%d") / now.strftime("%H-%M-%S")
+    run_dir.mkdir(parents=True, exist_ok=True)
+    os.chdir(run_dir)  # the run dir owns all artifacts (reference trainer.yaml:6-8)
+
+    @skip_if_run_is_over
+    def run() -> None:
+        trainer = Trainer(cfg, root_dir, run_dir=Path.cwd())
+        trainer.run()
+
+    run()
+
+
+if __name__ == "__main__":
+    main()

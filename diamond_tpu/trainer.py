@@ -1,0 +1,495 @@
+"""Training orchestration: collect -> train world model -> train policy in imagination ->
+eval -> checkpoint, per epoch.
+
+TPU-native counterpart of reference src/trainer.py. Single-process: all local devices are
+driven from one Python program (data parallelism via mesh, parallel/mesh.py), so the
+reference's rank-0-collects + broadcast_object_list choreography (trainer.py:219-237,
+utils.py:97-102) disappears.
+
+Matched orchestration semantics:
+  * dynamic initial collect until the minority-reward count reaches the threshold
+    (reference trainer.py:269-300),
+  * per-epoch: collect steps_per_epoch -> train denoiser/rew_end/actor_critic for
+    steps_first_epoch on epoch 1 else steps_per_epoch (reference trainer.py:326-337, 349-389),
+  * eval every `evaluation.every` epochs: collect test episodes + test losses over the
+    DatasetTraverser (reference trainer.py:243-251, 391-406),
+  * final collect of num_final_episodes -> final_return_mean/std (reference trainer.py:302-324),
+  * checkpointing: full train state + rotated weights-only agent copies + dataset info
+    (reference trainer.py:408-417, utils.py:209-230).
+"""
+
+from __future__ import annotations
+
+import random
+import shutil
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Cfg, save_config
+from .coroutines import Collector, NumToCollect
+from .data import BatchPrefetcher, BatchSampler, Dataset, DatasetTraverser, DeviceBatch
+from .envs import make_env
+from .envs.world_model_env import (ImaginationEngine, PoolManager, WorldModelEnvConfig)
+from .models import (ActorCriticLossConfig, Agent, AgentConfig, SigmaDistributionConfig)
+from .models.agent import MODEL_NAMES
+from .training import (OptimizerSpec, TrainState, make_ac_train_step, make_denoiser_eval_step,
+                       make_denoiser_train_step, make_rew_end_eval_step,
+                       make_rew_end_train_step)
+from .utils import (Logs, MetricsLogger, Timer, count_parameters, keep_agent_copies_every,
+                    load_pickle,
+                    process_confusion_matrices_if_any_and_compute_classification_metrics,
+                    save_info_for_import_script, save_with_backup, set_seed)
+
+
+class Trainer:
+    def __init__(self, cfg: Cfg, root_dir: Path, run_dir: Optional[Path] = None) -> None:
+        self._cfg = cfg
+        self._root_dir = Path(root_dir)
+        self._run_dir = Path(run_dir) if run_dir is not None else Path.cwd()
+
+        seed = cfg.common.seed if cfg.common.seed is not None else random.randint(0, 10 ** 9)
+        set_seed(seed)
+        self._rng_key = jax.random.PRNGKey(seed)
+        self._np_rng = np.random.default_rng(seed)
+
+        self._is_static_dataset = cfg.static_dataset.path is not None
+        self._is_model_free = cfg.training.model_free
+        dtype_name = cfg.get("tpu", {}).get("compute_dtype", "float32")
+        self._compute_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+
+        # Logging
+        self.logger = MetricsLogger(self._run_dir / "metrics.jsonl", cfg.wandb)
+
+        # Checkpointing
+        self._path_ckpt_dir = self._run_dir / "checkpoints"
+        self._path_state_ckpt = self._path_ckpt_dir / "state.pt"
+
+        # First time: init run-dir hierarchy (reference trainer.py:83-88)
+        if not cfg.common.resume:
+            self._path_ckpt_dir.mkdir(exist_ok=False, parents=True)
+            save_config(cfg, self._run_dir / "config" / "trainer.yaml")
+            src_copy = self._run_dir / "src"
+            if not src_copy.exists() and (self._root_dir / "diamond_tpu").is_dir() \
+                    and src_copy.resolve() != (self._root_dir / "diamond_tpu").resolve():
+                shutil.copytree(self._root_dir / "diamond_tpu", src_copy)
+
+        # Datasets
+        p = Path(cfg.static_dataset.path) if self._is_static_dataset \
+            else self._run_dir / "dataset"
+        self.train_dataset = Dataset(p / "train", "train_dataset",
+                                     cache_in_ram=cfg.training.cache_in_ram)
+        self.test_dataset = Dataset(p / "test", "test_dataset", cache_in_ram=True)
+        self.train_dataset.load_from_default_path()
+        self.test_dataset.load_from_default_path()
+        if self._is_static_dataset:
+            self.train_dataset.is_static = True
+
+        # Envs (host side)
+        train_env = make_env(num_envs=cfg.collection.train.num_envs, **cfg.env.train)
+        test_env = make_env(num_envs=cfg.collection.test.num_envs, **cfg.env.test)
+        num_actions = int(test_env.num_actions)
+        self._train_env, self._test_env = train_env, test_env
+
+        # Agent
+        agent_cfg = AgentConfig.from_cfg(cfg.agent, num_actions)
+        self.agent = Agent(agent_cfg, compute_dtype=self._compute_dtype)
+        self._rng_key, init_key = jax.random.split(self._rng_key)
+        self.agent.init(init_key, img_size=cfg.env.train.size)
+
+        if cfg.initialization.path_to_ckpt is not None:
+            self.agent.load(Path(cfg.initialization.path_to_ckpt),
+                            load_denoiser=cfg.initialization.load_denoiser,
+                            load_rew_end_model=cfg.initialization.load_rew_end_model,
+                            load_actor_critic=cfg.initialization.load_actor_critic)
+
+        # Collectors (reference trainer.py:115-123)
+        if not self._is_static_dataset:
+            self._train_collector = Collector(
+                train_env, self.agent.actor_critic, self._ac_variables, self.train_dataset,
+                epsilon=cfg.collection.train.epsilon, seed=seed)
+            self._test_collector = Collector(
+                test_env, self.agent.actor_critic, self._ac_variables, self.test_dataset,
+                epsilon=cfg.collection.test.epsilon, reset_every_collect=True, seed=seed + 1)
+
+        # Optimizers + train steps
+        self._opt_specs = {name: OptimizerSpec.from_cfg(cfg[name].optimizer,
+                                                        cfg[name].training)
+                           for name in MODEL_NAMES}
+        self._tx = {name: spec.build() for name, spec in self._opt_specs.items()}
+        sigma_cfg = SigmaDistributionConfig(**cfg.denoiser.sigma_distribution)
+        self._sigma_cfg = sigma_cfg
+        loss_cfg = ActorCriticLossConfig.from_cfg(cfg.actor_critic.actor_critic_loss)
+        self._loss_cfg = loss_cfg
+
+        wm_env_cfg = WorldModelEnvConfig.from_cfg(cfg.world_model_env)
+        self.engine = ImaginationEngine(self.agent.denoiser, self.agent.rew_end_model,
+                                        self.agent.actor_critic, wm_env_cfg)
+        self._wm_env_cfg = wm_env_cfg
+
+        self._denoiser_step = make_denoiser_train_step(self.agent.denoiser,
+                                                       self._tx["denoiser"], sigma_cfg)
+        self._rew_end_step = make_rew_end_train_step(self.agent.rew_end_model,
+                                                     self._tx["rew_end_model"])
+        self._ac_step = make_ac_train_step(self.engine, self.agent.actor_critic,
+                                           self._tx["actor_critic"], loss_cfg)
+        self._denoiser_eval = make_denoiser_eval_step(self.agent.denoiser, sigma_cfg)
+        self._rew_end_eval = make_rew_end_eval_step(self.agent.rew_end_model)
+
+        # Train states
+        self.train_states: Dict[str, TrainState] = {
+            name: TrainState.create(self.agent.variables[name]["params"], self._tx[name])
+            for name in MODEL_NAMES
+        }
+        self._denoiser_constants = self.agent.variables["denoiser"].get("constants", {})
+
+        # Data pipelines (reference trainer.py:139-167)
+        c = cfg.denoiser.training
+        self._seq_len_denoiser = (cfg.agent.denoiser.inner_model.num_steps_conditioning
+                                  + 1 + c.num_autoregressive_steps)
+        self._samplers = {}
+        self._prefetchers: Dict[str, BatchPrefetcher] = {}
+
+        # Imagination state (lazy: needs a non-empty dataset)
+        self._imag_state = None
+        self._pool = None
+        self._pool_manager: Optional[PoolManager] = None
+
+        # Counters (reference trainer.py:191-201)
+        self.epoch = 0
+        self.num_epochs_collect: Optional[int] = None
+        self.num_episodes_test = 0
+        self.num_batch_train = {name: 0 for name in MODEL_NAMES}
+        self.num_batch_test = {name: 0 for name in MODEL_NAMES}
+
+        if cfg.common.resume:
+            self.load_state_checkpoint()
+        else:
+            self.save_checkpoint()
+
+        for name in MODEL_NAMES:
+            n = count_parameters(self.agent.variables[name]["params"])
+            print(f"{n} parameters in {name}")
+        print(self.train_dataset)
+        print(self.test_dataset)
+
+    # -- helpers --------------------------------------------------------------
+
+    def _ac_variables(self) -> Any:
+        return {"params": self.train_states["actor_critic"].params}
+
+    def _d_variables(self) -> Any:
+        v = {"params": self.train_states["denoiser"].params}
+        if self._denoiser_constants:
+            v["constants"] = self._denoiser_constants
+        return v
+
+    def _r_variables(self) -> Any:
+        return {"params": self.train_states["rew_end_model"].params}
+
+    def _sync_agent_variables(self) -> None:
+        """Reflect the train states' params back into the Agent container (for collectors,
+        checkpoints, play interop)."""
+        self.agent.variables["denoiser"] = self._d_variables()
+        self.agent.variables["rew_end_model"] = self._r_variables()
+        self.agent.variables["actor_critic"] = self._ac_variables()
+
+    def _next_key(self) -> jax.Array:
+        self._rng_key, k = jax.random.split(self._rng_key)
+        return k
+
+    def _get_prefetcher(self, name: str) -> BatchPrefetcher:
+        if name not in self._prefetchers:
+            cfg = self._cfg
+            c = cfg[name].training
+            seq_length = self._seq_len_denoiser if name == "denoiser" else c.seq_length
+            weights = None if (self._is_static_dataset
+                               and cfg.static_dataset.ignore_sample_weights) \
+                else list(c.sample_weights)
+            sampler = BatchSampler(self.train_dataset, 0, 1, c.batch_size, seq_length,
+                                   weights, can_sample_beyond_end=(name == "rew_end_model"),
+                                   seed=int(self._np_rng.integers(0, 2 ** 31 - 1)))
+            self._prefetchers[name] = BatchPrefetcher(self.train_dataset, sampler).start()
+        return self._prefetchers[name]
+
+    def _ensure_imagination(self) -> None:
+        cfg = self._cfg
+        c = cfg.actor_critic.training
+        if self._pool_manager is None:
+            weights = None if (self._is_static_dataset
+                               and cfg.static_dataset.ignore_sample_weights) \
+                else list(c.sample_weights)
+            n_cond = cfg.agent.denoiser.inner_model.num_steps_conditioning
+            chunk = 512
+            sampler = BatchSampler(self.train_dataset, 0, 1, chunk, n_cond, weights,
+                                   seed=int(self._np_rng.integers(0, 2 ** 31 - 1)))
+            pool_size = self._wm_env_cfg.num_batches_to_preload * c.batch_size
+            self._pool_manager = PoolManager(self.engine, self.train_dataset, sampler,
+                                             pool_size, chunk=chunk)
+        max_consumption = self._loss_cfg.backup_every * c.batch_size + c.batch_size
+        if self._pool is None or self._pool_manager.needs_refill(self._pool, max_consumption):
+            self._pool = self._pool_manager.build_pool(self._r_variables())
+        if self._imag_state is None:
+            self._imag_state, self._pool = self.engine.initial_state(self._pool,
+                                                                     c.batch_size)
+
+    # -- main loop ------------------------------------------------------------
+
+    def run(self) -> None:
+        cfg = self._cfg
+        to_log: Logs = []
+
+        if self.epoch == 0:
+            if self._is_model_free or self._is_static_dataset:
+                self.num_epochs_collect = 0
+            else:
+                self.num_epochs_collect, logs = self.collect_initial_dataset()
+                to_log += logs
+
+        num_epochs = self.num_epochs_collect + cfg.training.num_final_epochs
+
+        while self.epoch < num_epochs:
+            self.epoch += 1
+            start_time = time.time()
+            print(f"\nEpoch {self.epoch} / {num_epochs}\n")
+
+            should_collect_train = (not self._is_model_free and not self._is_static_dataset
+                                    and self.epoch <= self.num_epochs_collect)
+            if should_collect_train:
+                to_log += self._train_collector.send(
+                    NumToCollect(steps=cfg.collection.train.steps_per_epoch))
+
+            if cfg.training.should:
+                to_log += self.train_agent()
+
+            should_test = cfg.evaluation.should and (self.epoch % cfg.evaluation.every == 0)
+            if should_test and not self._is_static_dataset:
+                to_log += self.collect_test()
+            if should_test and not self._is_model_free:
+                to_log += self.test_agent()
+
+            to_log.append({"duration": (time.time() - start_time) / 3600})
+            self.logger.log(to_log, self.epoch)
+            to_log = []
+            self.save_checkpoint()
+
+        if not self._is_static_dataset:
+            self.logger.log(self.collect_test(final=True), self.epoch)
+
+    # -- collection -----------------------------------------------------------
+
+    def collect_initial_dataset(self):
+        """Dynamic initial collect until >= threshold minority-reward samples
+        (reference trainer.py:269-300)."""
+        print("\nInitial collect\n")
+        to_log: Logs = []
+        c = self._cfg.collection.train
+        min_steps, steps_per_epoch = c.first_epoch.min, c.steps_per_epoch
+        max_steps, threshold_rew = c.first_epoch.max, c.first_epoch.threshold_rew
+        assert min_steps % steps_per_epoch == 0
+
+        steps = min_steps
+        while True:
+            to_log += self._train_collector.send(NumToCollect(steps=steps))
+            num_steps = self.train_dataset.num_steps
+            total_minority_rew = sum(sorted(self.train_dataset.counts_rew)[:-1])
+            if total_minority_rew >= threshold_rew:
+                break
+            if max_steps is not None and num_steps >= max_steps:
+                print("Reached the specified maximum for initial collect")
+                break
+            print(f"Minority reward: {total_minority_rew}/{threshold_rew} "
+                  "-> Keep collecting\n")
+            steps = steps_per_epoch
+
+        print("\nSummary of initial collect:")
+        print(f"Num steps: {num_steps} / {c.num_steps_total}")
+
+        remaining = c.num_steps_total - num_steps
+        assert remaining % steps_per_epoch == 0
+        return remaining // steps_per_epoch, to_log
+
+    def collect_test(self, final: bool = False) -> Logs:
+        """reference trainer.py:302-324."""
+        c = self._cfg.collection.test
+        episodes = c.num_final_episodes if final else c.num_episodes
+        td = self.test_dataset
+        td.clear()
+        to_log = self._test_collector.send(NumToCollect(episodes=episodes))
+        key_ep_id = f"{td.name}/episode_id"
+        to_log = [{k: v + self.num_episodes_test if k == key_ep_id else v
+                   for k, v in d.items()} for d in to_log]
+
+        print(f"\nSummary of {'final' if final else 'test'} collect: "
+              f"{td.num_episodes} episodes ({td.num_steps} steps)")
+        self.num_episodes_test += episodes
+
+        if final:
+            returns = [d["return"] for d in to_log if "return" in d]
+            to_log.append({"final_return_mean": float(np.mean(returns)),
+                           "final_return_std": float(np.std(returns))})
+            print(to_log[-1])
+        return to_log
+
+    # -- training -------------------------------------------------------------
+
+    def train_agent(self) -> Logs:
+        to_log: Logs = []
+        model_names = ["actor_critic"] if self._is_model_free else list(MODEL_NAMES)
+        for name in model_names:
+            c = self._cfg[name].training
+            if self.epoch > c.start_after_epochs:
+                steps = c.steps_first_epoch if self.epoch == 1 else c.steps_per_epoch
+                to_log += self.train_component(name, steps)
+        self._sync_agent_variables()
+        return to_log
+
+    def train_component(self, name: str, steps: int) -> Logs:
+        c = self._cfg[name].training
+        num_steps = c.grad_acc_steps * steps
+        if c.grad_acc_steps != 1:
+            raise NotImplementedError("grad_acc_steps > 1 not yet supported")
+        to_log: Logs = []
+        state = self.train_states[name]
+        spec = self._opt_specs[name]
+
+        print(f"Training {name} ({num_steps} steps)")
+        if name == "denoiser":
+            it = iter(self._get_prefetcher(name))
+            for _ in range(num_steps):
+                state, metrics = self._denoiser_step(state, self._denoiser_constants,
+                                                     next(it), self._next_key())
+                self._finish_step_metrics(name, metrics, to_log, spec, state)
+        elif name == "rew_end_model":
+            it = iter(self._get_prefetcher(name))
+            for _ in range(num_steps):
+                state, metrics = self._rew_end_step(state, next(it))
+                self._finish_step_metrics(name, metrics, to_log, spec, state)
+        else:  # actor_critic
+            if self._is_model_free:
+                raise NotImplementedError("model-free AC training lands with the "
+                                          "model-free trainer path")
+            self.train_states[name] = state
+            for _ in range(num_steps):
+                self._ensure_imagination()
+                state = self.train_states[name]
+                state, self._imag_state, self._pool, metrics = self._ac_step(
+                    state, self._d_variables(), self._r_variables(), self._imag_state,
+                    self._pool, self._next_key())
+                self.train_states[name] = state
+                self._finish_step_metrics(name, metrics, to_log, spec, state)
+
+        self.train_states[name] = state
+        out = [d for d in self._materialize_logs(to_log)]
+        process_confusion_matrices_if_any_and_compute_classification_metrics(out)
+        return [{f"{name}/train/{k}": v for k, v in d.items()} for d in out]
+
+    def _finish_step_metrics(self, name: str, metrics: Dict, to_log: Logs,
+                             spec: OptimizerSpec, state: TrainState) -> None:
+        metrics = dict(metrics)
+        metrics[f"num_batch_train_{name}"] = self.num_batch_train[name]
+        self.num_batch_train[name] += 1
+        metrics["lr"] = spec.lr_at(self.num_batch_train[name] - 1)
+        to_log.append(metrics)
+
+    @staticmethod
+    def _materialize_logs(to_log: Logs) -> Logs:
+        """Convert device arrays to host floats in one deferred pass (keeps the train loop
+        free of per-step device syncs)."""
+        out = []
+        for d in to_log:
+            row = {}
+            for k, v in d.items():
+                if isinstance(v, dict):
+                    row[k] = {kk: np.asarray(vv) for kk, vv in v.items()}
+                elif hasattr(v, "shape") and getattr(v, "shape", None) == ():
+                    row[k] = float(v)
+                else:
+                    row[k] = v
+            out.append(row)
+        return out
+
+    def test_agent(self) -> Logs:
+        """Per-component test losses over the held-out episodes (reference
+        trainer.py:339-347, 391-406)."""
+        to_log: Logs = []
+        for name in ["denoiser", "rew_end_model"]:
+            c = self._cfg[name].training
+            if self.epoch <= c.start_after_epochs:
+                continue
+            seq_length = self._seq_len_denoiser if name == "denoiser" else c.seq_length
+            traverser = DatasetTraverser(self.test_dataset, c.batch_size, seq_length)
+            logs: Logs = []
+            for batch in traverser:
+                db = DeviceBatch.from_batch(batch)
+                if name == "denoiser":
+                    metrics = self._denoiser_eval(self._d_variables(), db, self._next_key())
+                else:
+                    metrics = self._rew_end_eval(self._r_variables(), db)
+                metrics = dict(metrics)
+                metrics[f"num_batch_test_{name}"] = self.num_batch_test[name]
+                self.num_batch_test[name] += 1
+                logs.append(metrics)
+            logs = self._materialize_logs(logs)
+            process_confusion_matrices_if_any_and_compute_classification_metrics(logs)
+            to_log += [{f"{name}/test/{k}": v for k, v in d.items()} for d in logs]
+        return to_log
+
+    # -- checkpointing ---------------------------------------------------------
+
+    def state_dict(self) -> Dict[str, Any]:
+        self._sync_agent_variables()
+        get = jax.device_get
+        return {
+            "agent": self.agent.state_dict(),
+            "train_states": {name: {"params": get(ts.params),
+                                    "opt_state": get(ts.opt_state),
+                                    "step": int(ts.step)}
+                             for name, ts in self.train_states.items()},
+            "epoch": self.epoch,
+            "num_epochs_collect": self.num_epochs_collect,
+            "num_episodes_test": self.num_episodes_test,
+            "num_batch_train": dict(self.num_batch_train),
+            "num_batch_test": dict(self.num_batch_test),
+            "train_dataset": self.train_dataset.state_dict(),
+            "test_dataset": self.test_dataset.state_dict(),
+        }
+
+    def load_state_dict(self, sd: Dict[str, Any]) -> None:
+        self.agent.load_state_dict(sd["agent"])
+        for name in MODEL_NAMES:
+            tss = sd["train_states"][name]
+            ts = self.train_states[name]
+            self.train_states[name] = ts.replace(
+                params=jax.tree_util.tree_map(jnp.asarray, tss["params"]),
+                opt_state=jax.tree_util.tree_map(
+                    lambda x: jnp.asarray(x) if isinstance(x, (np.ndarray, jnp.ndarray,
+                                                               np.generic)) else x,
+                    tss["opt_state"]),
+                step=jnp.asarray(tss["step"], jnp.int32))
+        if "constants" in sd["agent"]["denoiser"]:
+            self._denoiser_constants = jax.tree_util.tree_map(
+                jnp.asarray, sd["agent"]["denoiser"]["constants"])
+        self.epoch = sd["epoch"]
+        self.num_epochs_collect = sd["num_epochs_collect"]
+        self.num_episodes_test = sd["num_episodes_test"]
+        self.num_batch_train = dict(sd["num_batch_train"])
+        self.num_batch_test = dict(sd["num_batch_test"])
+        self.train_dataset.load_state_dict(sd["train_dataset"])
+        self.test_dataset.load_state_dict(sd["test_dataset"])
+
+    def load_state_checkpoint(self) -> None:
+        self.load_state_dict(load_pickle(self._path_state_ckpt))
+
+    def save_checkpoint(self) -> None:
+        save_with_backup(self.state_dict(), self._path_state_ckpt)
+        self.train_dataset.save_to_default_path()
+        self.test_dataset.save_to_default_path()
+        keep_agent_copies_every(self.agent.state_dict(), self.epoch, self._path_ckpt_dir,
+                                every=self._cfg.checkpointing.save_agent_every,
+                                num_to_keep=self._cfg.checkpointing.num_to_keep)
+        save_info_for_import_script(self.epoch, self._cfg.wandb.name, self._path_ckpt_dir)

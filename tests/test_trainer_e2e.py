@@ -1,0 +1,97 @@
+"""End-to-end smoke: a few epochs of the full pipeline (collect -> WM training -> imagination
+RL -> eval -> checkpoint -> resume) on the fake env with tiny models
+(SURVEY.md section 4, item 6)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from diamond_tpu.config import load_config
+from diamond_tpu.trainer import Trainer
+
+TINY_OVERRIDES = [
+    "env=fake",
+    "env.train.size=16",
+    "env.train.max_episode_steps=30",
+    "common.seed=7",
+    # tiny models
+    "agent.denoiser.inner_model.cond_channels=16",
+    "agent.denoiser.inner_model.depths=[1,1]",
+    "agent.denoiser.inner_model.channels=[8,8]",
+    "agent.denoiser.inner_model.attn_depths=[0,0]",
+    "agent.rew_end_model.lstm_dim=32",
+    "agent.rew_end_model.cond_channels=8",
+    "agent.rew_end_model.depths=[1,1]",
+    "agent.rew_end_model.channels=[8,8]",
+    "agent.rew_end_model.attn_depths=[0,0]",
+    "agent.actor_critic.lstm_dim=32",
+    "agent.actor_critic.channels=[8,8]",
+    "agent.actor_critic.down=[1,1]",
+    # tiny training
+    "collection.train.first_epoch.min=60",
+    "collection.train.first_epoch.max=60",
+    "collection.train.first_epoch.threshold_rew=1",
+    "collection.train.num_steps_total=120",
+    "collection.train.steps_per_epoch=30",
+    "collection.test.num_episodes=1",
+    "collection.test.num_final_episodes=2",
+    "training.num_final_epochs=1",
+    "denoiser.training.steps_first_epoch=3",
+    "denoiser.training.steps_per_epoch=2",
+    "denoiser.training.batch_size=4",
+    "denoiser.training.lr_warmup_steps=2",
+    "rew_end_model.training.steps_first_epoch=3",
+    "rew_end_model.training.steps_per_epoch=2",
+    "rew_end_model.training.batch_size=4",
+    "actor_critic.training.steps_first_epoch=2",
+    "actor_critic.training.steps_per_epoch=2",
+    "actor_critic.training.batch_size=4",
+    "actor_critic.actor_critic_loss.backup_every=5",
+    "world_model_env.horizon=5",
+    "world_model_env.num_batches_to_preload=8",
+    "world_model_env.diffusion_sampler.num_steps_denoising=2",
+    "evaluation.every=2",
+    "tpu.compute_dtype=float32",
+]
+
+
+@pytest.mark.slow
+def test_e2e_train_and_resume(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = load_config("trainer", overrides=TINY_OVERRIDES)
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    monkeypatch.chdir(run_dir)
+
+    trainer = Trainer(cfg, root_dir=tmp_path, run_dir=run_dir)
+    trainer.run()
+
+    # ran: initial collect (2 sub-collects) + 2 collect epochs + 1 final epoch
+    assert trainer.epoch == trainer.num_epochs_collect + 1
+    assert trainer.train_dataset.num_steps >= 120
+    assert (run_dir / "checkpoints" / "state.pt").is_file()
+    assert (run_dir / "metrics.jsonl").is_file()
+    lines = (run_dir / "metrics.jsonl").read_text().strip().splitlines()
+    assert any("final_return_mean" in l for l in lines)
+    assert any("denoiser/train/loss_denoising" in l for l in lines)
+    assert any("actor_critic/train/loss_total" in l for l in lines)
+    assert any("rew_end_model/train/loss_rew" in l for l in lines)
+
+    # resume restores counters and model params
+    cfg2 = load_config("trainer", overrides=TINY_OVERRIDES + ["common.resume=True"])
+    trainer2 = Trainer(cfg2, root_dir=tmp_path, run_dir=run_dir)
+    assert trainer2.epoch == trainer.epoch
+    assert trainer2.num_epochs_collect == trainer.num_epochs_collect
+    assert trainer2.train_dataset.num_steps == trainer.train_dataset.num_steps
+    # params equal leaf-by-leaf
+    import jax
+    l1 = jax.tree_util.tree_leaves(trainer.train_states["denoiser"].params)
+    l2 = jax.tree_util.tree_leaves(trainer2.train_states["denoiser"].params)
+    for x, y in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+    # resumed run continues without error for one more epoch of each component
+    trainer2.num_epochs_collect = trainer2.epoch  # force one more "final" epoch
+    cfg2.training.num_final_epochs = 1
+    trainer2._cfg = cfg2
+    trainer2.run()
