@@ -1,0 +1,95 @@
+"""Imagination-FPS benchmark (the driver's north-star metric, BASELINE.md).
+
+Measures the reference's hot loop (SURVEY.md section 3.4) — the WorldModelEnv step:
+per env-step, 3 denoiser U-Net forwards (Euler sampler, n=3), one reward/end LSTM step and
+one policy step, at batch 32 on the *default full-size* agent (denoiser channels [64,64,64,64]
+depths [2,2,2,2] at 64x64 RGB) — fused here into a single lax.scan rollout
+(diamond_tpu/envs/world_model_env.py), bf16 compute.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` compares against 5x an ESTIMATED A100 figure for the reference implementation
+(the reference publishes no throughput numbers — BASELINE.md). Estimate: ~2.8e10 FLOPs per
+env-step per sample (3 U-Net fwd ~9.2e9 each + reward/end encoder + policy), A100 TF32
+effective throughput on 64-channel convs with torch.compile assumed ~40 TFLOP/s (25% of
+156 TFLOP/s peak) -> ~1430 frames/s at batch 32. Target = 5x = 7150 frames/s;
+vs_baseline = measured / target.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diamond_tpu.config import load_config
+from diamond_tpu.envs.world_model_env import (ICPool, ImaginationEngine, WorldModelEnvConfig,
+                                              make_ic_preparer)
+from diamond_tpu.models import Agent, AgentConfig
+
+A100_EST_FPS = 1430.0  # see module docstring for the derivation
+TARGET_FPS = 5.0 * A100_EST_FPS
+
+BATCH = 32
+HORIZON = 15
+NUM_ACTIONS = 4  # Breakout
+
+
+def main() -> None:
+    cfg = load_config("trainer")
+    agent_cfg = AgentConfig.from_cfg(cfg.agent, NUM_ACTIONS)
+    agent = Agent(agent_cfg, compute_dtype=jnp.bfloat16)
+    agent.init(jax.random.PRNGKey(0), img_size=cfg.env.train.size)
+
+    wm_cfg = WorldModelEnvConfig.from_cfg(cfg.world_model_env)
+    engine = ImaginationEngine(agent.denoiser, agent.rew_end_model, agent.actor_critic,
+                               wm_cfg)
+
+    # synthetic IC pool (shapes/dtypes identical to the real pipeline)
+    rng = np.random.default_rng(0)
+    n_cond = cfg.agent.denoiser.inner_model.num_steps_conditioning
+    size = cfg.env.train.size
+    pool_n = 4096
+    obs_u8 = rng.integers(0, 255, (pool_n, n_cond, size, size, 3), dtype=np.uint8)
+    act = rng.integers(0, NUM_ACTIONS, (pool_n, n_cond)).astype(np.int32)
+    hx, cx = make_ic_preparer(agent.rew_end_model)(
+        agent.variables["rew_end_model"], jnp.asarray(obs_u8), jnp.asarray(act))
+    pool = ICPool(obs=jnp.asarray(obs_u8), act=jnp.asarray(act), hx=hx, cx=cx,
+                  ptr=jnp.asarray(0, jnp.int32))
+    st, pool = engine.initial_state(pool, BATCH)
+
+    rollout = jax.jit(engine.rollout, static_argnums=(6,))
+    ac_vars = agent.variables["actor_critic"]
+    d_vars = agent.variables["denoiser"]
+    r_vars = agent.variables["rew_end_model"]
+
+    def run(key, st, pool):
+        traj, st, pool = rollout(ac_vars, d_vars, r_vars, st, pool, key, HORIZON)
+        return traj["rew"], st, pool
+
+    # warmup / compile (value-forced: block_until_ready is unreliable on tunneled
+    # platforms, so timings always materialize a value derived from the results)
+    out, st, pool = run(jax.random.PRNGKey(1), st, pool)
+    _ = float(out.sum())
+
+    best = float("inf")
+    iters = 10
+    for rep in range(3):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out, st, pool = run(jax.random.PRNGKey(2 + rep * iters + i), st, pool)
+        _ = float(out.sum()) + float(st.ep_len.sum())
+        best = min(best, time.perf_counter() - t0)
+
+    fps = BATCH * HORIZON * iters / best
+    print(json.dumps({
+        "metric": "imagination_fps_batch32_n3",
+        "value": round(fps, 1),
+        "unit": "env_frames/s",
+        "vs_baseline": round(fps / TARGET_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

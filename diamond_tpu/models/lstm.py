@@ -66,8 +66,10 @@ class LSTMCell(nn.Module):
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
         g = jnp.tanh(g)
-        new_c = f * cx.astype(dt) + i * g
-        new_h = o * jnp.tanh(new_c)
+        # carry stays float32 (scan-carry dtype stability + LSTM state accumulates over
+        # many steps); only the gate matmuls run in the compute dtype
+        new_c = (f * cx.astype(dt) + i * g).astype(jnp.float32)
+        new_h = (o * jnp.tanh(new_c).astype(dt)).astype(jnp.float32)
         return (new_h, new_c), new_h
 
 
