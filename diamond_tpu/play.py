@@ -1,0 +1,137 @@
+"""Interactive app: play inside the world model, the real env, or browse recorded datasets.
+
+TPU-native counterpart of reference src/play.py. Modes:
+  * default: human (or policy, toggle 'm') plays in [world-model, real-test, real-train]
+    envs, cycling with the bracket keys (reference play.py:71-115);
+  * ``--dataset-mode``: read-only browser over the run's datasets (reference play.py:58-68);
+  * ``--record``: write played episodes into ``dataset/rec_*`` stores;
+  * ``--pretrained``: download a reference torch checkpoint from the HF Hub
+    (eloialonso/diamond, reference play.py:23-26,74-81) and convert it
+    (interop/torch_ckpt.py).
+
+Run from inside a training run directory (the default), or pass --run-dir.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Play DIAMOND (TPU-native)")
+    p.add_argument("--run-dir", type=Path, default=Path("."))
+    p.add_argument("-p", "--pretrained", action="store_true",
+                   help="download a pretrained reference agent from the HF Hub")
+    p.add_argument("-d", "--dataset-mode", action="store_true")
+    p.add_argument("-r", "--record", action="store_true")
+    p.add_argument("--fps", type=int, default=15)
+    p.add_argument("--size", type=int, default=640, help="render size (pixels)")
+    p.add_argument("-n", "--num-steps-initial-collect", type=int, default=1000)
+    p.add_argument("--game", type=str, default=None,
+                   help="with --pretrained: Atari-100k game name, e.g. Breakout")
+    p.add_argument("--horizon", type=int, default=50,
+                   help="world-model horizon during play (reference play.py:81)")
+    return p.parse_args(argv)
+
+
+def download_pretrained(game: str):
+    """HF Hub download of the reference agent + config (reference play.py:74-81)."""
+    from huggingface_hub import hf_hub_download
+
+    ckpt = hf_hub_download(repo_id="eloialonso/diamond", filename=f"atari_100k/models/{game}.pt")
+    return Path(ckpt)
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    import os
+    os.chdir(args.run_dir)
+
+    from .config import load_config
+    from .data import BatchSampler, Dataset
+    from .utils import get_path_agent_ckpt
+
+    cfg_path = Path("config")
+    if (cfg_path / "trainer.yaml").is_file():
+        cfg = load_config("trainer", config_dir=cfg_path)
+    else:
+        cfg = load_config("trainer")
+
+    if args.dataset_mode:
+        from .game.dataset_env import DatasetEnv
+        from .game.game import Game
+
+        names = [p.name for p in Path("dataset").iterdir() if p.is_dir()]
+        datasets = []
+        for n in names:
+            d = Dataset(Path("dataset") / n, n)
+            d.load_from_default_path()
+            datasets.append(d)
+        env = DatasetEnv(datasets, keymap_name=cfg.env.keymap)
+        Game(env, size=(args.size, args.size), fps=args.fps).run()
+        return
+
+    import jax
+    import jax.numpy as jnp
+
+    from .coroutines import Collector, NumToCollect
+    from .envs import make_env
+    from .envs.world_model_env import ImaginationEngine, WorldModelEnvConfig
+    from .envs.wm_env_stateful import WorldModelEnv, make_dataset_ic_provider
+    from .game.game import Game
+    from .game.play_env import NamedEnv, PlayEnv
+    from .models import Agent, AgentConfig
+
+    train_env = make_env(num_envs=1, **cfg.env.train)
+    test_env = make_env(num_envs=1, **cfg.env.test)
+    num_actions = int(test_env.num_actions)
+
+    agent = Agent(AgentConfig.from_cfg(cfg.agent, num_actions))
+    agent.init(jax.random.PRNGKey(0), img_size=cfg.env.train.size)
+
+    if args.pretrained:
+        from .interop import load_reference_checkpoint
+
+        game = args.game or cfg.env.train.id.replace("NoFrameskip-v4", "")
+        path = download_pretrained(game)
+        variables = load_reference_checkpoint(path, img_size=cfg.env.train.size,
+                                              ac_down=list(cfg.agent.actor_critic.down))
+        agent.variables = jax.tree_util.tree_map(jnp.asarray, variables)
+        print(f"loaded pretrained {game} from the HF Hub")
+    else:
+        ckpt = get_path_agent_ckpt("checkpoints", epoch=-1)
+        agent.load(ckpt)
+        print(f"loaded {ckpt}")
+
+    # Seed the world model's initial-condition pool with real experience
+    # (reference play.py:96-103).
+    seed_ds = Dataset(Path("dataset") / "play_seed", "play_seed", cache_in_ram=True,
+                      save_on_disk=False)
+    collector = Collector(test_env, agent.actor_critic,
+                          lambda: agent.variables["actor_critic"], seed_ds, verbose=False)
+    print(f"collecting {args.num_steps_initial_collect} real steps to seed the world model…")
+    collector.send(NumToCollect(steps=args.num_steps_initial_collect))
+
+    wm_cfg = WorldModelEnvConfig.from_cfg(cfg.world_model_env)
+    wm_cfg.horizon = args.horizon
+    engine = ImaginationEngine(agent.denoiser, agent.rew_end_model, agent.actor_critic,
+                               wm_cfg)
+    n_cond = cfg.agent.denoiser.inner_model.num_steps_conditioning
+    ic_sampler = BatchSampler(seed_ds, 0, 1, batch_size=8, seq_length=n_cond, seed=0)
+    provider = make_dataset_ic_provider(seed_ds, ic_sampler, agent.rew_end_model,
+                                        lambda: agent.variables["rew_end_model"])
+    wm_env = WorldModelEnv(engine, lambda: agent.variables["denoiser"],
+                           lambda: agent.variables["rew_end_model"], provider, num_envs=1,
+                           return_denoising_trajectory=args.record)
+
+    envs = [NamedEnv("world_model", wm_env), NamedEnv("test", test_env),
+            NamedEnv("train", train_env)]
+    play_env = PlayEnv(agent, envs, cfg.env.keymap, args.fps, record_mode=args.record)
+    Game(play_env, size=(args.size, args.size), fps=args.fps).run()
+
+
+if __name__ == "__main__":
+    main()
