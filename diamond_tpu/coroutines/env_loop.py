@@ -103,8 +103,12 @@ class EnvLoop:
 
         steps: List[List[Any]] = []
         infos: List[Dict[str, Any]] = []
+        # extras for gradient-replay training (model-free path): initial LSTM state and the
+        # per-step reset gates, enough to recompute the policy forward bit-for-bit
+        extras = {"hx0": np.asarray(hx), "cx0": np.asarray(cx), "reset_mask": []}
 
         for _ in range(num_steps):
+            extras["reset_mask"].append(np.asarray(prev_dead))
             act, logits, val, hx, cx = self._policy_step(
                 variables, obs, hx, cx, jnp.asarray(prev_dead), self._base_key,
                 self._step_count, self.epsilon)
@@ -150,5 +154,7 @@ class EnvLoop:
         steps[-1][-1] = val_bootstrap
 
         self._state = (obs, hx, cx, prev_dead, val_final_obs)
+        extras["reset_mask"] = np.stack(extras["reset_mask"], axis=1)  # (B, T)
+        self.last_extras = extras
         stacked = tuple(np.stack(x, axis=1) for x in zip(*steps))
         return (*stacked, infos)

