@@ -263,10 +263,16 @@ class Trainer:
 
         num_epochs = self.num_epochs_collect + cfg.training.num_final_epochs
 
+        profile_dir = cfg.get("tpu", {}).get("profile_dir")
+
         while self.epoch < num_epochs:
             self.epoch += 1
             start_time = time.time()
             print(f"\nEpoch {self.epoch} / {num_epochs}\n")
+
+            profiling = profile_dir and self.epoch == 1
+            if profiling:  # per-phase device trace (the reference has none; SURVEY.md §5)
+                jax.profiler.start_trace(str(profile_dir))
 
             should_collect_train = (not self._is_model_free and not self._is_static_dataset
                                     and self.epoch <= self.num_epochs_collect)
@@ -282,6 +288,9 @@ class Trainer:
                 to_log += self.collect_test()
             if should_test and not self._is_model_free:
                 to_log += self.test_agent()
+
+            if profiling:
+                jax.profiler.stop_trace()
 
             to_log.append({"duration": (time.time() - start_time) / 3600})
             self.logger.log(to_log, self.epoch)
