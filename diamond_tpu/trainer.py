@@ -120,7 +120,17 @@ class Trainer:
         self._opt_specs = {name: OptimizerSpec.from_cfg(cfg[name].optimizer,
                                                         cfg[name].training)
                            for name in MODEL_NAMES}
-        self._tx = {name: spec.build() for name, spec in self._opt_specs.items()}
+
+        def build_tx(name: str):
+            # grad accumulation: mean of micro-batch grads applied every k micro-steps
+            # (reference trainer.py:368-379 sums without rescaling; the mean convention is
+            # kept here so LR means the same thing at any grad_acc_steps)
+            import optax
+            tx = self._opt_specs[name].build()
+            k = int(cfg[name].training.grad_acc_steps)
+            return optax.MultiSteps(tx, every_k_schedule=k) if k > 1 else tx
+
+        self._tx = {name: build_tx(name) for name in MODEL_NAMES}
         sigma_cfg = SigmaDistributionConfig(**cfg.denoiser.sigma_distribution)
         self._sigma_cfg = sigma_cfg
         loss_cfg = ActorCriticLossConfig.from_cfg(cfg.actor_critic.actor_critic_loss)
@@ -370,9 +380,7 @@ class Trainer:
 
     def train_component(self, name: str, steps: int) -> Logs:
         c = self._cfg[name].training
-        num_steps = c.grad_acc_steps * steps
-        if c.grad_acc_steps != 1:
-            raise NotImplementedError("grad_acc_steps > 1 not yet supported")
+        num_steps = c.grad_acc_steps * steps  # micro-steps (reference trainer.py:361)
         to_log: Logs = []
         state = self.train_states[name]
         spec = self._opt_specs[name]
