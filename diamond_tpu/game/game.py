@@ -26,7 +26,8 @@ class Game:
         self.keymap = dict(sorted(keymap.items(), key=lambda kv: -len(kv[0])))
         self.action_names = action_names
 
-    def run(self) -> None:
+    def run(self, max_steps: int = 0) -> None:
+        """max_steps > 0 limits the loop (headless smoke tests with SDL_VIDEODRIVER=dummy)."""
         import pygame
 
         pygame.init()
@@ -39,10 +40,13 @@ class Game:
 
         obs, _ = self.env.reset()
         paused = False
-        do_one_step = False
         running = True
+        steps = 0
 
         while running:
+            steps += 1
+            if max_steps and steps > max_steps:
+                break
             pygame.event.pump()
             step_once = False
             for event in pygame.event.get():

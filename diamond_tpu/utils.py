@@ -46,11 +46,16 @@ class MetricsLogger:
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self._wandb = None
         if wandb_cfg and wandb_cfg.get("mode", "disabled") != "disabled":
-            try:
+            def _init():
                 import wandb  # type: ignore
 
-                wandb.init(**{k: v for k, v in wandb_cfg.items() if k != "mode"}, resume=True)
+                wandb.init(**{k: v for k, v in wandb_cfg.items() if k != "mode"},
+                           resume=True)
                 self._wandb = wandb
+
+            try:  # retried like the reference's try_until_no_except wrapper would be,
+                # but bounded: a missing wandb must not block training (utils.py:311-320)
+                _init()
             except Exception:
                 self._wandb = None
 
