@@ -62,6 +62,22 @@ class Trainer:
         dtype_name = cfg.get("tpu", {}).get("compute_dtype", "float32")
         self._compute_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
+        # Data parallelism: a `data` mesh axis over all local devices (parallel/mesh.py).
+        # Replaces the reference's mp.spawn + DDP/NCCL (reference main.py:26-44). Falls back
+        # to single-device placement when batch sizes don't divide the device count.
+        self._mesh = None
+        if cfg.get("tpu", {}).get("data_parallel", False) and len(jax.devices()) > 1:
+            from .parallel import make_mesh
+
+            n = len(jax.devices())
+            batch_sizes = [cfg[m].training.batch_size for m in MODEL_NAMES]
+            if all(b % n == 0 for b in batch_sizes):
+                self._mesh = make_mesh()
+                print(f"data-parallel mesh over {n} devices")
+            else:
+                print(f"tpu.data_parallel requested but batch sizes {batch_sizes} do not "
+                      f"divide {n} devices — running replicated on one device")
+
         # Logging
         self.logger = MetricsLogger(self._run_dir / "metrics.jsonl", cfg.wandb)
 
@@ -161,12 +177,18 @@ class Trainer:
         self._denoiser_eval = make_denoiser_eval_step(self.agent.denoiser, sigma_cfg)
         self._rew_end_eval = make_rew_end_eval_step(self.agent.rew_end_model)
 
-        # Train states
+        # Train states (replicated over the mesh when data-parallel)
         self.train_states: Dict[str, TrainState] = {
             name: TrainState.create(self.agent.variables[name]["params"], self._tx[name])
             for name in MODEL_NAMES
         }
         self._denoiser_constants = self.agent.variables["denoiser"].get("constants", {})
+        if self._mesh is not None:
+            from .parallel import replicate
+
+            self.train_states = {k: replicate(v, self._mesh)
+                                 for k, v in self.train_states.items()}
+            self._denoiser_constants = replicate(self._denoiser_constants, self._mesh)
 
         # Data pipelines (reference trainer.py:139-167)
         c = cfg.denoiser.training
@@ -234,7 +256,13 @@ class Trainer:
             sampler = BatchSampler(self.train_dataset, 0, 1, c.batch_size, seq_length,
                                    weights, can_sample_beyond_end=(name == "rew_end_model"),
                                    seed=int(self._np_rng.integers(0, 2 ** 31 - 1)))
-            self._prefetchers[name] = BatchPrefetcher(self.train_dataset, sampler).start()
+            sharding = None
+            if self._mesh is not None:
+                from .parallel import batch_sharding
+
+                sharding = batch_sharding(self._mesh)
+            self._prefetchers[name] = BatchPrefetcher(self.train_dataset, sampler,
+                                                      sharding=sharding).start()
         return self._prefetchers[name]
 
     def _ensure_imagination(self) -> None:
@@ -254,9 +282,17 @@ class Trainer:
         max_consumption = self._loss_cfg.backup_every * c.batch_size + c.batch_size
         if self._pool is None or self._pool_manager.needs_refill(self._pool, max_consumption):
             self._pool = self._pool_manager.build_pool(self._r_variables())
+            if self._mesh is not None:
+                from .parallel import shard_pool
+
+                self._pool = shard_pool(self._pool, self._mesh)
         if self._imag_state is None:
             self._imag_state, self._pool = self.engine.initial_state(self._pool,
                                                                      c.batch_size)
+            if self._mesh is not None:
+                from .parallel import shard_imag_state
+
+                self._imag_state = shard_imag_state(self._imag_state, self._mesh)
 
     # -- main loop ------------------------------------------------------------
 
@@ -512,6 +548,12 @@ class Trainer:
         if "constants" in sd["agent"]["denoiser"]:
             self._denoiser_constants = jax.tree_util.tree_map(
                 jnp.asarray, sd["agent"]["denoiser"]["constants"])
+        if self._mesh is not None:
+            from .parallel import replicate
+
+            self.train_states = {k: replicate(v, self._mesh)
+                                 for k, v in self.train_states.items()}
+            self._denoiser_constants = replicate(self._denoiser_constants, self._mesh)
         self.epoch = sd["epoch"]
         self.num_epochs_collect = sd["num_epochs_collect"]
         self.num_episodes_test = sd["num_episodes_test"]

@@ -124,6 +124,39 @@ def test_static_dataset_mode(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_data_parallel_trainer(tmp_path, monkeypatch):
+    """Same trainer, batch sizes divisible by the 8-device mesh -> DP engages
+    (SURVEY.md section 2.8 TPU-native equivalent)."""
+    import jax
+
+    assert len(jax.devices()) == 8
+    run_dir = tmp_path / "dp_run"
+    run_dir.mkdir()
+    monkeypatch.chdir(run_dir)
+    cfg = load_config("trainer", overrides=TINY_OVERRIDES + [
+        "denoiser.training.batch_size=8",
+        "rew_end_model.training.batch_size=8",
+        "actor_critic.training.batch_size=8",
+        "denoiser.training.steps_first_epoch=2",
+        "rew_end_model.training.steps_first_epoch=2",
+        "actor_critic.training.steps_first_epoch=1",
+        "denoiser.training.steps_per_epoch=1",
+        "rew_end_model.training.steps_per_epoch=1",
+        "actor_critic.training.steps_per_epoch=1",
+        "collection.train.num_steps_total=90",
+        "training.num_final_epochs=1",
+        "evaluation.every=10",
+        "collection.test.num_final_episodes=1",
+    ])
+    trainer = Trainer(cfg, root_dir=tmp_path, run_dir=run_dir)
+    assert trainer._mesh is not None, "mesh must engage with divisible batch sizes"
+    trainer.run()
+    lines = (run_dir / "metrics.jsonl").read_text()
+    assert "denoiser/train/loss_denoising" in lines
+    assert "actor_critic/train/loss_total" in lines
+
+
+@pytest.mark.slow
 def test_e2e_train_and_resume(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     cfg = load_config("trainer", overrides=TINY_OVERRIDES)
