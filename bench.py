@@ -59,7 +59,7 @@ def main() -> None:
                   ptr=jnp.asarray(0, jnp.int32))
     st, pool = engine.initial_state(pool, BATCH)
 
-    rollout = jax.jit(engine.rollout, static_argnums=(6,))
+    rollout = jax.jit(engine.rollout, static_argnums=(6,), donate_argnums=(3, 4))
     ac_vars = agent.variables["actor_critic"]
     d_vars = agent.variables["denoiser"]
     r_vars = agent.variables["rew_end_model"]

@@ -90,14 +90,18 @@ def Conv3x3(features: int, dtype: Dtype, strides: int = 1,
 
 
 def _group_norm(x: jnp.ndarray, num_groups: int) -> jnp.ndarray:
-    """Affine-free group norm over NHWC, accumulating in float32."""
+    """Affine-free group norm over NHWC, accumulating in float32.
+
+    Single-pass statistics (E[x^2] - E[x]^2, both reductions fuse into one read of x)
+    instead of the two-pass mean-then-centered-variance — these norms sit between every pair
+    of convs and are HBM-bandwidth bound."""
     orig_dtype = x.dtype
-    x = x.astype(jnp.float32)
     n, h, w, c = x.shape
     g = num_groups
-    xg = x.reshape(n, h, w, g, c // g)
+    xg = x.reshape(n, h, w, g, c // g).astype(jnp.float32)
     mean = xg.mean(axis=(1, 2, 4), keepdims=True)
-    var = ((xg - mean) ** 2).mean(axis=(1, 2, 4), keepdims=True)
+    m2 = (xg * xg).mean(axis=(1, 2, 4), keepdims=True)
+    var = m2 - mean * mean
     xg = (xg - mean) * jax.lax.rsqrt(var + GN_EPS)
     return xg.reshape(n, h, w, c).astype(orig_dtype)
 
