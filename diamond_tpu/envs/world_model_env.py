@@ -174,12 +174,20 @@ class ImaginationEngine:
         """
         ac = self.actor_critic
 
+        # Rematerialize every policy application: without this, the scan saves the policy
+        # conv-encoder activations of all T steps x (1 main + 1 final-obs + n_cond-1 burn-in)
+        # evaluations as backward residuals — ~27 GB at full size (4x inflated by TPU layout
+        # padding), which OOMs a 16 GB chip. Recomputing them in the backward costs ~4% of
+        # the step (the policy is tiny next to 3 U-Net forwards).
+        ac_apply = jax.checkpoint(
+            lambda v, obs, carry: ac.predict_act_value(v, obs, carry))
+
         def scan_step(carry, step_rng):
             st, pool = carry
             k_act, k_wm = jax.random.split(step_rng)
 
             # policy step WITH grad (reference env_loop.py:31-32)
-            out = ac.predict_act_value(ac_vars, st.obs_buffer[:, -1], (st.ac_hx, st.ac_cx))
+            out = ac_apply(ac_vars, st.obs_buffer[:, -1], (st.ac_hx, st.ac_cx))
             act = jax.random.categorical(k_act, out.logits_act, axis=-1)
 
             # world-model step (no grad)
@@ -190,7 +198,7 @@ class ImaginationEngine:
             # value of the final obs with the PRE-reset policy carry, no grad
             # (reference env_loop.py:46-48)
             val_final = jax.lax.stop_gradient(
-                ac.predict_act_value(ac_vars, next_obs, out.carry).val)
+                ac_apply(ac_vars, next_obs, out.carry).val)
 
             st2 = st2.replace(ac_hx=out.carry[0], ac_cx=out.carry[1])
             st2, pool = self._reset_dead(st2, pool, dead)
@@ -200,7 +208,7 @@ class ImaginationEngine:
             # first n_cond-1 frames) from a zero state; computed for all envs, applied to
             # dead ones.
             def burn(carry, obs_t):
-                o = ac.predict_act_value(ac_vars, obs_t, carry)
+                o = ac_apply(ac_vars, obs_t, carry)
                 return o.carry, None
 
             zeros = (jnp.zeros_like(st2.ac_hx), jnp.zeros_like(st2.ac_cx))

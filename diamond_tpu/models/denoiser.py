@@ -168,7 +168,11 @@ class Denoiser:
             noisy_next_obs = self.apply_noise(rng_noise, next_obs, sigma)
 
             cs = self.compute_conditioners(sigma)
-            model_output = self.compute_model_output(variables, noisy_next_obs, obs, act, cs)
+            # remat the U-Net forward: TPU layout padding inflates the saved conv
+            # activations ~4x; recomputing them in the backward is cheaper than the HBM
+            # traffic (same trade as the imagination rollout, world_model_env.py)
+            model_output = jax.checkpoint(self.compute_model_output)(
+                variables, noisy_next_obs, obs, act, cs)
 
             target = (next_obs - cs.c_skip * noisy_next_obs) / cs.c_out
             se = (model_output - target) ** 2

@@ -159,7 +159,10 @@ class RewEndModel:
         onehot = jax.nn.one_hot(death_step, t, dtype=jnp.bool_) & dead[:, None]
         next_obs = jnp.where(onehot[:, :, None, None, None], final_obs[:, None], next_obs)
 
-        logits_rew, logits_end, _ = self.predict_rew_end(variables, obs, act, next_obs)
+        # remat: recompute the conv-encoder/LSTM forward in the backward pass instead of
+        # saving layout-padded activations (see denoiser.loss / world_model_env.rollout)
+        logits_rew, logits_end, _ = jax.checkpoint(self.predict_rew_end)(
+            variables, obs, act, next_obs)
 
         target_rew = jnp.sign(rew).astype(jnp.int32) + 1  # {-1,0,1} -> {0,1,2}
         target_end = end.astype(jnp.int32)
