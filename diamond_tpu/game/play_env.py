@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..coroutines.env_loop import EnvLoop  # noqa: F401  (kept for parity docs)
 from ..data import Dataset, Episode
 from ..data.episode import obs_to_float
 from .keymap import get_keymap_and_action_names

@@ -34,6 +34,8 @@ def parse_args(argv=None):
                    help="with --pretrained: Atari-100k game name, e.g. Breakout")
     p.add_argument("--horizon", type=int, default=50,
                    help="world-model horizon during play (reference play.py:81)")
+    p.add_argument("--smoke", type=int, default=0,
+                   help="headless smoke: run N frames and exit (SDL_VIDEODRIVER=dummy)")
     return p.parse_args(argv)
 
 
@@ -71,7 +73,7 @@ def main(argv=None) -> None:
             d.load_from_default_path()
             datasets.append(d)
         env = DatasetEnv(datasets, keymap_name=cfg.env.keymap)
-        Game(env, size=(args.size, args.size), fps=args.fps).run()
+        Game(env, size=(args.size, args.size), fps=args.fps).run(max_steps=args.smoke)
         return
 
     import jax
@@ -130,7 +132,7 @@ def main(argv=None) -> None:
     envs = [NamedEnv("world_model", wm_env), NamedEnv("test", test_env),
             NamedEnv("train", train_env)]
     play_env = PlayEnv(agent, envs, cfg.env.keymap, args.fps, record_mode=args.record)
-    Game(play_env, size=(args.size, args.size), fps=args.fps).run()
+    Game(play_env, size=(args.size, args.size), fps=args.fps).run(max_steps=args.smoke)
 
 
 if __name__ == "__main__":
