@@ -163,3 +163,93 @@ class TInnerModel(nn.Module):
         x = self.conv_in(torch.cat((obs, noisy), dim=1))
         x = self.unet(x, cond)
         return self.conv_out(F.silu(self.norm_out(x)))
+
+
+class TRewEndEncoder(nn.Module):
+    """Torch twin of the reference RewEndEncoder (SURVEY.md section 2.1: conv_in, per-level
+    ResBlocks with Downsample between, final attn ResBlocks pair)."""
+
+    def __init__(self, in_c, cond_c, depths, channels, attn_depths):
+        super().__init__()
+        self.conv_in = nn.Conv2d(in_c, channels[0], 3, padding=1)
+        blocks = []
+        for i, n in enumerate(depths):
+            c1, c2 = channels[max(0, i - 1)], channels[i]
+            blocks.append(TResBlocks([c1] + [c2] * (n - 1), [c2] * n, cond_c,
+                                     attn_depths[i]))
+        blocks.append(TResBlocks([channels[-1]] * 2, [channels[-1]] * 2, cond_c, True))
+        self.blocks = nn.ModuleList(blocks)
+        self.downsamples = nn.ModuleList(
+            [nn.Identity()] + [TDown(c) for c in channels[:-1]] + [nn.Identity()])
+
+    def forward(self, x, cond):
+        x = self.conv_in(x)
+        for block, down in zip(self.blocks, self.downsamples):
+            x = down(x)
+            x, _ = block(x, cond)
+        return x
+
+
+class TRewEndModel(nn.Module):
+    def __init__(self, lstm_dim, img_c, img_size, cond_c, depths, channels, attn_depths,
+                 num_actions):
+        super().__init__()
+        self.encoder = TRewEndEncoder(2 * img_c, cond_c, depths, channels, attn_depths)
+        self.act_emb = nn.Embedding(num_actions, cond_c)
+        feat = img_size // 2 ** (len(depths) - 1)
+        self.lstm = nn.LSTM(channels[-1] * feat * feat, lstm_dim, batch_first=True)
+        self.head = nn.Sequential(nn.Linear(lstm_dim, lstm_dim), nn.SiLU(),
+                                  nn.Linear(lstm_dim, 5, bias=False))
+
+    def forward(self, obs, act, next_obs, hx_cx=None):
+        b, t, c, h, w = obs.shape
+        x = torch.cat((obs.reshape(b * t, c, h, w), next_obs.reshape(b * t, c, h, w)), dim=1)
+        cond = self.act_emb(act.reshape(b * t))
+        x = self.encoder(x, cond).reshape(b, t, -1)
+        x, hx_cx = self.lstm(x, hx_cx)
+        logits = self.head(x)
+        return logits[:, :, :-2], logits[:, :, -2:], hx_cx
+
+
+class TActorCritic(nn.Module):
+    """Torch twin of the reference ActorCritic (SURVEY.md section 2.1: conv_in +
+    SmallResBlock/MaxPool encoder -> LSTMCell -> linear heads)."""
+
+    def __init__(self, lstm_dim, img_c, img_size, channels, down, num_actions):
+        super().__init__()
+        layers = [nn.Conv2d(img_c, channels[0], 3, padding=1)]
+        for i, ch in enumerate(channels):
+            cin = channels[max(0, i - 1)]
+            layers.append(TSmallResBlock(cin, ch))
+            if down[i]:
+                layers.append(nn.MaxPool2d(2))
+        # reference nests the Sequential inside an encoder module: keys encoder.encoder.N
+        class _Enc(nn.Module):
+            def __init__(self, seq):
+                super().__init__()
+                self.encoder = seq
+
+            def forward(self, x):
+                return self.encoder(x)
+
+        self.encoder = _Enc(nn.Sequential(*layers))
+        feat = img_size // 2 ** sum(down)
+        self.lstm = nn.LSTMCell(channels[-1] * feat * feat, lstm_dim)
+        self.actor_linear = nn.Linear(lstm_dim, num_actions)
+        self.critic_linear = nn.Linear(lstm_dim, 1)
+
+    def forward(self, obs, hx_cx):
+        x = self.encoder(obs).flatten(1)
+        hx, cx = self.lstm(x, hx_cx)
+        return self.actor_linear(hx), self.critic_linear(hx).squeeze(1), (hx, cx)
+
+
+class TSmallResBlock(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.f = nn.Sequential(TGroupNorm(cin), nn.SiLU(),
+                               nn.Conv2d(cin, cout, 3, padding=1))
+        self.skip_projection = nn.Identity() if cin == cout else nn.Conv2d(cin, cout, 1)
+
+    def forward(self, x):
+        return self.skip_projection(x) + self.f(x)
