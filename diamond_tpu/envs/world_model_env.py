@@ -82,16 +82,32 @@ class ImagState(struct.PyTreeNode):
     ep_len: jnp.ndarray      # (B,) int32
 
 
-def make_ic_preparer(rew_end_model: RewEndModel):
-    """Jitted: burn in the reward/end LSTM over the conditioning transitions of real segments
-    (reference world_model_env.py:117-124). obs_u8: (N, n_cond, H, W, C)."""
+def make_ic_preparer(rew_end_model: RewEndModel, chunk: int = 512):
+    """Burn in the reward/end LSTM over the conditioning transitions of real segments
+    (reference world_model_env.py:117-124). obs_u8: (N, n_cond, H, W, C).
+
+    Chunked host-side: the encoder activations of N*(n_cond-1) frames at once would blow
+    HBM for pool-sized N (observed: 18 GB at N=8192); each jitted call sees at most
+    ``chunk`` segments."""
 
     @jax.jit
-    def prepare(r_vars: Variables, obs_u8: jnp.ndarray, act: jnp.ndarray):
+    def prepare_chunk(r_vars: Variables, obs_u8: jnp.ndarray, act: jnp.ndarray):
         obs = obs_to_float(obs_u8)
         *_, (hx, cx) = rew_end_model.predict_rew_end(
             r_vars, obs[:, :-1], act[:, :-1], obs[:, 1:])
         return hx, cx
+
+    def prepare(r_vars: Variables, obs_u8: jnp.ndarray, act: jnp.ndarray):
+        n = obs_u8.shape[0]
+        if n <= chunk:
+            return prepare_chunk(r_vars, obs_u8, act)
+        outs = [prepare_chunk(r_vars, obs_u8[i:i + chunk], act[i:i + chunk])
+                for i in range(0, n - n % chunk, chunk)]
+        if n % chunk:  # tail reuses the main chunk shape to avoid a recompile
+            hx_t, cx_t = prepare_chunk(r_vars, obs_u8[-chunk:], act[-chunk:])
+            outs.append((hx_t[-(n % chunk):], cx_t[-(n % chunk):]))
+        return (jnp.concatenate([o[0] for o in outs]),
+                jnp.concatenate([o[1] for o in outs]))
 
     return prepare
 
