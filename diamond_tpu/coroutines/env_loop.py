@@ -20,7 +20,6 @@ frames cross the boundary as uint8.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax

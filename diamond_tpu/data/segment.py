@@ -10,7 +10,7 @@ materialized here as dense arrays so the loss jits with static shapes.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import numpy as np
 from flax import struct

@@ -13,7 +13,7 @@ Requires ale-py at runtime (not bundled in this image — the Fake env covers te
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 

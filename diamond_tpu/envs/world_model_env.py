@@ -19,8 +19,7 @@ lives in envs/wm_env_stateful.py, built on the same transition functions.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import Conv3x3, SmallResBlock, torch_linear_kernel_init
+from .blocks import Conv3x3, SmallResBlock
 from .lstm import LSTMCell
 
 Variables = Any

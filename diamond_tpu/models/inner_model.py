@@ -8,7 +8,7 @@ weights of reference checkpoints convert by transposition alone.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, List, Optional
 
 import jax.numpy as jnp

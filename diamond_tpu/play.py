@@ -17,8 +17,6 @@ from __future__ import annotations
 import argparse
 from pathlib import Path
 
-import numpy as np
-
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Play DIAMOND (TPU-native)")

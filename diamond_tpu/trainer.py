@@ -24,7 +24,7 @@ import random
 import shutil
 import time
 from pathlib import Path
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +40,7 @@ from .models.agent import MODEL_NAMES
 from .training import (OptimizerSpec, TrainState, make_ac_train_step, make_denoiser_eval_step,
                        make_denoiser_train_step, make_rew_end_eval_step,
                        make_rew_end_train_step)
-from .utils import (Logs, MetricsLogger, Timer, count_parameters, keep_agent_copies_every,
+from .utils import (Logs, MetricsLogger, count_parameters, keep_agent_copies_every,
                     load_pickle,
                     process_confusion_matrices_if_any_and_compute_classification_metrics,
                     save_info_for_import_script, save_with_backup, set_seed)

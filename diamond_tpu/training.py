@@ -14,7 +14,6 @@ reference config; when set higher the trainer loop averages micro-batch grads ho
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
