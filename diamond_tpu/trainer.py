@@ -421,21 +421,22 @@ class Trainer:
         state = self.train_states[name]
         spec = self._opt_specs[name]
 
-        print(f"Training {name} ({num_steps} steps)")
+        from tqdm import trange
+        steps_iter = trange(num_steps, desc=f"Training {name}", leave=False)
         if name == "denoiser":
             it = iter(self._get_prefetcher(name))
-            for _ in range(num_steps):
+            for _ in steps_iter:
                 state, metrics = self._denoiser_step(state, self._denoiser_constants,
                                                      next(it), self._next_key())
                 self._finish_step_metrics(name, metrics, to_log, spec, state)
         elif name == "rew_end_model":
             it = iter(self._get_prefetcher(name))
-            for _ in range(num_steps):
+            for _ in steps_iter:
                 state, metrics = self._rew_end_step(state, next(it))
                 self._finish_step_metrics(name, metrics, to_log, spec, state)
         elif self._is_model_free:  # actor_critic on the real env
             T = self._loss_cfg.backup_every
-            for _ in range(num_steps):
+            for _ in steps_iter:
                 _obs, act, rew, end, trunc, _logits, _val, val_boot, _ = \
                     self._rl_env_loop.send(T)
                 ex = self._rl_env_loop.last_extras
@@ -448,7 +449,7 @@ class Trainer:
                 self._finish_step_metrics(name, metrics, to_log, spec, state)
         else:  # actor_critic in imagination
             self.train_states[name] = state
-            for _ in range(num_steps):
+            for _ in steps_iter:
                 self._ensure_imagination()
                 state = self.train_states[name]
                 state, self._imag_state, self._pool, metrics = self._ac_step(
