@@ -11,10 +11,17 @@ from .segment import Batch, SegmentId, collate_segments_to_batch, make_segment
 
 
 class DatasetTraverser:
-    def __init__(self, dataset: Dataset, batch_num_samples: int, chunk_size: int) -> None:
+    """pad_to_batch: emit every batch at exactly batch_num_samples by appending fully-masked
+    dummy segments to the tail batch — one jit shape for the whole eval (variable tail shapes
+    force a recompile per size; losses/confusion matrices are mask-weighted so padding
+    contributes nothing)."""
+
+    def __init__(self, dataset: Dataset, batch_num_samples: int, chunk_size: int,
+                 pad_to_batch: bool = False) -> None:
         self.dataset = dataset
         self.batch_num_samples = batch_num_samples
         self.chunk_size = chunk_size
+        self.pad_to_batch = pad_to_batch
 
     def __len__(self) -> int:
         return math.ceil(sum(
@@ -40,4 +47,16 @@ class DatasetTraverser:
                 yield collate_segments_to_batch(chunks[: self.batch_num_samples])
                 chunks = chunks[self.batch_num_samples:]
         if chunks:
+            if self.pad_to_batch:
+                dummy = _masked_out_copy(chunks[-1])
+                chunks = chunks + [dummy] * (self.batch_num_samples - len(chunks))
             yield collate_segments_to_batch(chunks)
+
+
+def _masked_out_copy(seg):
+    import copy
+    import numpy as np
+
+    dummy = copy.copy(seg)
+    dummy.mask_padding = np.zeros_like(seg.mask_padding)
+    return dummy

@@ -473,16 +473,39 @@ class Trainer:
 
     @staticmethod
     def _materialize_logs(to_log: Logs) -> Logs:
-        """Convert device arrays to host floats in one deferred pass (keeps the train loop
-        free of per-step device syncs)."""
+        """Convert device arrays to host values in one deferred pass. Scalars of the same
+        key are stacked ON DEVICE and fetched with a single transfer per key — per-scalar
+        fetches cost a full round trip each on tunneled platforms (~25 ms x hundreds of
+        steps x keys would dominate the epoch)."""
+        is_dev = lambda v: hasattr(v, "shape") and not isinstance(v, np.ndarray)
+        # gather device values per key (scalars and fixed-shape arrays alike)
+        per_key: Dict[Any, list] = {}
+        for d in to_log:
+            for k, v in d.items():
+                if isinstance(v, dict):
+                    for kk, vv in v.items():
+                        if is_dev(vv):
+                            per_key.setdefault((k, kk), []).append(vv)
+                elif is_dev(v):
+                    per_key.setdefault(k, []).append(v)
+        fetched = {k: np.asarray(jnp.stack(vs)) for k, vs in per_key.items()}
+        counters = {k: 0 for k in fetched}
+
+        def take(key):
+            i = counters[key]
+            counters[key] += 1
+            return fetched[key][i]
+
         out = []
         for d in to_log:
             row = {}
             for k, v in d.items():
                 if isinstance(v, dict):
-                    row[k] = {kk: np.asarray(vv) for kk, vv in v.items()}
-                elif hasattr(v, "shape") and getattr(v, "shape", None) == ():
-                    row[k] = float(v)
+                    row[k] = {kk: (take((k, kk)) if is_dev(vv) else np.asarray(vv))
+                              for kk, vv in v.items()}
+                elif is_dev(v):
+                    val = take(k)
+                    row[k] = float(val) if val.ndim == 0 else val
                 else:
                     row[k] = v
             out.append(row)
@@ -497,7 +520,8 @@ class Trainer:
             if self.epoch <= c.start_after_epochs:
                 continue
             seq_length = self._seq_len_denoiser if name == "denoiser" else c.seq_length
-            traverser = DatasetTraverser(self.test_dataset, c.batch_size, seq_length)
+            traverser = DatasetTraverser(self.test_dataset, c.batch_size, seq_length,
+                                         pad_to_batch=True)
             logs: Logs = []
             for batch in traverser:
                 db = DeviceBatch.from_batch(batch)

@@ -156,3 +156,15 @@ def test_prefetcher_host_mode(tmp_path):
     b1, b2 = next(it), next(it)
     assert b1.obs.shape == (4, 6, 8, 8, 3)
     pf.stop()
+
+
+def test_traverser_pad_to_batch(tmp_path):
+    ds = Dataset(tmp_path / "d", cache_in_ram=True)
+    ds.add_episode(make_episode(t=11, seed=0))
+    ds.add_episode(make_episode(t=7, seed=1))
+    tr = DatasetTraverser(ds, batch_num_samples=3, chunk_size=5, pad_to_batch=True)
+    batches = list(tr)
+    assert all(b.obs.shape[0] == 3 for b in batches)  # single jit shape
+    # padding segments are fully masked -> contribute nothing
+    total_real = sum(b.mask_padding.any(axis=1).sum() for b in batches)
+    assert total_real == 4
