@@ -106,30 +106,37 @@ class EnvLoop:
         # per-step reset gates, enough to recompute the policy forward bit-for-bit
         extras = {"hx0": np.asarray(hx), "cx0": np.asarray(cx), "reset_mask": []}
 
+        # Per-step device outputs (logits/values) stay ON DEVICE until the end of the send:
+        # only the action must cross the boundary each step (every extra fetch is a full
+        # round trip on tunneled platforms). Bootstraps are assembled from the stacked
+        # device arrays in one pass.
+        b = self.env.num_envs
+        zeros_b = jnp.zeros((b,), jnp.float32)
+        steps_host: List[List[Any]] = []     # obs, act, rew, end, trunc (host)
+        dev_logits: List[Any] = []
+        dev_vals: List[Any] = []
+        dev_val_finals: List[Any] = []       # value of final obs (or zeros when no death)
+        dead_masks: List[np.ndarray] = []
+
         for _ in range(num_steps):
             extras["reset_mask"].append(np.asarray(prev_dead))
             act, logits, val, hx, cx = self._policy_step(
                 variables, obs, hx, cx, jnp.asarray(prev_dead), self._base_key,
                 self._step_count, self.epsilon)
             self._step_count += 1
-            act_np = np.asarray(act)
+            act_np = np.asarray(act)  # the one mandatory device fetch per step
 
             next_obs, rew, end, trunc, info = self.env.step(act_np)
-
-            # patch previous step's bootstrap with this step's value (detached), unless the
-            # env died there (then it is the final-obs value) — reference env_loop.py:39-43
-            if steps:
-                val_bootstrap = np.array(val)  # writable copy
-                if prev_dead.any():
-                    val_bootstrap[prev_dead] = np.asarray(val_final_obs)[prev_dead]
-                steps[-1][-1] = val_bootstrap
-
             dead = np.asarray(end) | np.asarray(trunc)
+
+            val_final = zeros_b
             if dead.any():
                 # value of the true final obs with the PRE-reset state
+                # (reference env_loop.py:46-48)
                 final_full = np.array(next_obs, copy=True)
                 final_full[dead] = info["final_observation"]
-                val_final_obs = self._value_only(variables, final_full, hx, cx)
+                val_final = self._value_only(variables, final_full, hx, cx)
+                val_final_obs = val_final
                 if "burnin_obs" in info:
                     # world-model resets: re-burn-in the policy LSTM on the new context
                     gate = jnp.asarray(~dead, jnp.float32)[:, None]
@@ -139,21 +146,32 @@ class EnvLoop:
                     hx = jnp.where(mask, bh, hx)
                     cx = jnp.where(mask, bc, cx)
 
-            steps.append([obs, act_np, np.asarray(rew), np.asarray(end, np.uint8),
-                          np.asarray(trunc, np.uint8), np.asarray(logits), np.asarray(val),
-                          None])
+            steps_host.append([obs, act_np, np.asarray(rew), np.asarray(end, np.uint8),
+                               np.asarray(trunc, np.uint8)])
+            dev_logits.append(logits)
+            dev_vals.append(val)
+            dev_val_finals.append(val_final)
+            dead_masks.append(dead)
             infos.append(info)
             obs = next_obs
             prev_dead = dead
 
-        # last step's bootstrap: value of next_obs without state update
-        val_bootstrap = np.array(self._value_only(variables, obs, hx, cx))
-        if prev_dead.any():
-            val_bootstrap[prev_dead] = np.asarray(val_final_obs)[prev_dead]
-        steps[-1][-1] = val_bootstrap
+        # bootstraps: next step's value, except the final-obs value where the env died
+        # (reference env_loop.py:39-43, 64-70); last step uses a no-state-update value call
+        val_extra = self._value_only(variables, obs, hx, cx)
+        vals_j = jnp.stack(dev_vals, axis=1)                     # (B, T)
+        val_next = jnp.concatenate([vals_j[:, 1:], val_extra[:, None]], axis=1)
+        finals_j = jnp.stack(dev_val_finals, axis=1)
+        dead_j = jnp.asarray(np.stack(dead_masks, axis=1))
+        boot_j = jnp.where(dead_j, finals_j, val_next)
+        logits_j = jnp.stack(dev_logits, axis=1)                 # (B, T, A)
+
+        # one materialization pass for everything device-side
+        val_np, boot_np, logits_np = (np.asarray(x) for x in (vals_j, boot_j, logits_j))
 
         self._state = (obs, hx, cx, prev_dead, val_final_obs)
         extras["reset_mask"] = np.stack(extras["reset_mask"], axis=1)  # (B, T)
         self.last_extras = extras
-        stacked = tuple(np.stack(x, axis=1) for x in zip(*steps))
-        return (*stacked, infos)
+        obs_s, act_s, rew_s, end_s, trunc_s = (np.stack(x, axis=1)
+                                               for x in zip(*steps_host))
+        return (obs_s, act_s, rew_s, end_s, trunc_s, logits_np, val_np, boot_np, infos)
