@@ -34,15 +34,17 @@ class BatchPrefetcher:
     are async, so compute overlaps the next transfer.
     """
 
-    def __init__(self, dataset: Dataset, sampler: BatchSampler, prefetch: int = 3,
-                 to_device: bool = True, sharding=None) -> None:
+    def __init__(self, dataset: Dataset, sampler: BatchSampler, prefetch: int = 4,
+                 to_device: bool = True, sharding=None, workers: int = 2) -> None:
         self.dataset = dataset
         self.sampler = sampler
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._to_device = to_device
         self._sharding = sharding
-        self._thread: Optional[threading.Thread] = None
+        self._workers = workers
+        self._threads: list = []
+        self._lock = threading.Lock()  # sampler RNG is not thread-safe
 
     def _put_device(self, batch: Batch) -> DeviceBatch:
         db = DeviceBatch.from_batch(batch)
@@ -55,7 +57,12 @@ class BatchPrefetcher:
     def _worker(self) -> None:
         while not self._stop.is_set():
             try:
-                batch = self._put_device(sample_batch(self.dataset, self.sampler))
+                with self._lock:
+                    ids = self.sampler.sample()
+                from .segment import collate_segments_to_batch
+
+                batch = self._put_device(
+                    collate_segments_to_batch([self.dataset[sid] for sid in ids]))
             except Exception as e:  # surface in the consumer
                 self._queue.put(e)
                 return
@@ -67,10 +74,12 @@ class BatchPrefetcher:
                     continue
 
     def start(self) -> "BatchPrefetcher":
-        if self._thread is None or not self._thread.is_alive():
+        if not any(t.is_alive() for t in self._threads):
             self._stop.clear()
-            self._thread = threading.Thread(target=self._worker, daemon=True)
-            self._thread.start()
+            self._threads = [threading.Thread(target=self._worker, daemon=True)
+                             for _ in range(self._workers)]
+            for t in self._threads:
+                t.start()
         return self
 
     def stop(self) -> None:
