@@ -187,7 +187,11 @@ def load_config(
             raise ValueError(f"Override must be key=value, got {ov!r}")
         key, _, raw = ov.partition("=")
         key = key.strip()
-        if key in group_names and (config_dir / key / f"{raw.strip()}.yaml").is_file():
+        if key in group_names:
+            if not (config_dir / key / f"{raw.strip()}.yaml").is_file():
+                options = sorted(p.stem for p in (config_dir / key).glob("*.yaml"))
+                raise ValueError(f"Unknown {key} group option {raw.strip()!r}; "
+                                 f"available: {options}")
             defaults = [
                 {key: raw.strip()} if isinstance(item, dict) and key in item else item
                 for item in defaults
@@ -209,6 +213,17 @@ def load_config(
         _merge(cfg, _to_cfg(root_raw))
 
     for key, raw in value_overrides:
+        # Hydra-style strictness: a plain override must target an existing key (silent
+        # typo-created keys are a classic footgun); prefix with '+' to add a new key.
+        add_new = key.startswith("+")
+        key = key.lstrip("+")
+        if not add_new:
+            try:
+                cfg.get_path(key)
+            except (KeyError, IndexError, TypeError):
+                raise KeyError(
+                    f"Override targets unknown config key {key!r} (use +{key}=... to add "
+                    "a new key)") from None
         cfg.set_path(key, _to_cfg(_parse_value(raw)))
 
     if resolve:

@@ -38,3 +38,16 @@ def test_env_group_override_before_resolution():
     cfg = load_config("trainer", overrides=["env.train.id=PongNoFrameskip-v4"])
     assert cfg.env.test.id == "PongNoFrameskip-v4"
     assert cfg.env.keymap == "atari/PongNoFrameskip-v4"
+
+
+def test_override_strictness():
+    import pytest
+    # typo'd key rejected
+    with pytest.raises(KeyError, match="unknown config key"):
+        load_config("trainer", overrides=["denoiser.trainng.batch_size=4"])
+    # +key adds a new key
+    cfg = load_config("trainer", overrides=["+denoiser.training.extra_knob=5"])
+    assert cfg.denoiser.training.extra_knob == 5
+    # unknown group option gets a clear error listing alternatives
+    with pytest.raises(ValueError, match="available"):
+        load_config("trainer", overrides=["env=doesnotexist"])
