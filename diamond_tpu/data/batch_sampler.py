@@ -1,14 +1,21 @@
 """Infinite weighted segment sampler.
 
-TPU-native counterpart of reference src/data/batch_sampler.py. Same math:
-  * recency-bucket weights split the episode index range into len(weights) buckets, the last
-    bucket absorbing the remainder (reference batch_sampler.py:41-51),
-  * data-parallel sharding by episode id: rank r owns episodes r, r+ws, r+2ws, ...
-    (reference batch_sampler.py:53-55),
-  * random timestep then a left-padded window ending at or after it, or beyond-end windows
-    when training the reward/end model (reference batch_sampler.py:59-68).
+Reproduces the reference's sampling distribution exactly (reference:
+src/data/batch_sampler.py:38-70) — recency-bucket episode weights, data-parallel
+partitioning of episodes by id, and left-padded (or beyond-end) windows around a uniform
+timestep — but is organized as vectorized numpy stages with an explicit
+``np.random.Generator`` (no global RNG): per-episode weights, then the rank's partition,
+then window bounds, each its own helper.
 
-Uses an explicit np.random.Generator (the reference relies on global np.random state).
+Distribution spec, for the golden tests (tests/test_data.py):
+  * with fewer episodes than buckets (or no weights), episodes are drawn proportionally to
+    their length;
+  * otherwise the episode id range splits into ``len(weights)`` equal buckets (remainder to
+    the newest bucket) and an episode's weight is its bucket's weight / bucket size;
+  * rank r of ws owns episode ids r, r+ws, r+2ws, ...;
+  * the window is uniform over windows *containing* the drawn timestep: clipped to end by
+    the episode end (padding before the start only), or unclipped when
+    ``can_sample_beyond_end`` (the reward/end model trains on post-death padding).
 """
 
 from __future__ import annotations
@@ -19,6 +26,16 @@ import numpy as np
 
 from .dataset import Dataset
 from .segment import SegmentId
+
+
+def _bucket_weights(num_episodes: int, bucket_w: List[float]) -> np.ndarray:
+    """Per-episode weight array from recency-bucket weights."""
+    assert min(bucket_w) >= 0 and max(bucket_w) <= 1 and abs(sum(bucket_w) - 1) < 1e-9
+    n_buckets = len(bucket_w)
+    base = num_episodes // n_buckets
+    sizes = np.full(n_buckets, base, dtype=np.int64)
+    sizes[-1] += num_episodes - base * n_buckets
+    return np.repeat(np.asarray(bucket_w) / sizes, sizes)
 
 
 class BatchSampler:
@@ -39,37 +56,30 @@ class BatchSampler:
         while True:
             yield self.sample()
 
-    def sample(self) -> List[SegmentId]:
-        num_episodes = self.dataset.num_episodes
-        assert num_episodes > 0, "Cannot sample from an empty dataset"
+    def _episode_weights(self) -> np.ndarray:
+        n = self.dataset.num_episodes
+        if self.sample_weights is None or n < len(self.sample_weights):
+            return self.dataset.lengths / self.dataset.num_steps
+        return _bucket_weights(n, self.sample_weights)
 
-        if (self.sample_weights is None) or num_episodes < len(self.sample_weights):
-            weights = self.dataset.lengths / self.dataset.num_steps
-        else:
-            w = self.sample_weights
-            num_w = len(w)
-            assert all(0 <= x <= 1 for x in w) and abs(sum(w) - 1) < 1e-9
-            # bucket i holds num//num_w episodes; the last also takes the remainder
-            sizes = [num_episodes // num_w + (num_episodes % num_w) * (i == num_w - 1)
-                     for i in range(num_w)]
-            weights = np.array([wi / s for (wi, s) in zip(w, sizes) for _ in range(s)])
+    def _draw_episodes(self) -> np.ndarray:
+        """batch_size episode ids from this rank's partition, recency-weighted."""
+        mine = np.arange(self.rank, self.dataset.num_episodes, self.world_size)
+        w = self._episode_weights()[mine]
+        return self.rng.choice(mine, size=self.batch_size, p=w / w.sum())
 
-        episodes_partition = np.arange(self.rank, num_episodes, self.world_size)
-        weights = np.asarray(weights)[self.rank::self.world_size]
-        episode_ids = self.rng.choice(episodes_partition, size=self.batch_size, replace=True,
-                                      p=weights / weights.sum())
-        timesteps = self.rng.integers(low=0, high=self.dataset.lengths[episode_ids])
-
+    def _window_bounds(self, ep_len: np.ndarray):
+        """(start, stop) arrays of seq_length windows around a uniform timestep each."""
+        t = self.rng.integers(0, ep_len)
+        offset = self.rng.integers(0, self.seq_length, size=t.shape)
         if self.can_sample_beyond_end:
-            # padding allowed both before start and after end
-            starts = timesteps - self.rng.integers(0, self.seq_length, len(timesteps))
-            stops = starts + self.seq_length
-        else:
-            # padding allowed only before start
-            stops = np.minimum(self.dataset.lengths[episode_ids],
-                               timesteps + 1 + self.rng.integers(0, self.seq_length,
-                                                                 len(timesteps)))
-            starts = stops - self.seq_length
+            starts = t - offset
+            return starts, starts + self.seq_length
+        stops = np.minimum(ep_len, t + 1 + offset)
+        return stops - self.seq_length, stops
 
-        return [SegmentId(int(e), int(a), int(b))
-                for e, a, b in zip(episode_ids, starts, stops)]
+    def sample(self) -> List[SegmentId]:
+        assert self.dataset.num_episodes > 0, "Cannot sample from an empty dataset"
+        eps = self._draw_episodes()
+        starts, stops = self._window_bounds(self.dataset.lengths[eps])
+        return [SegmentId(int(e), int(a), int(b)) for e, a, b in zip(eps, starts, stops)]
