@@ -189,20 +189,35 @@ class ImaginationEngine:
         """
         ac = self.actor_critic
 
-        # Rematerialize every policy application: without this, the scan saves the policy
-        # conv-encoder activations of all T steps x (1 main + 1 final-obs + n_cond-1 burn-in)
-        # evaluations as backward residuals — ~27 GB at full size (4x inflated by TPU layout
-        # padding), which OOMs a 16 GB chip. Recomputing them in the backward costs ~4% of
-        # the step (the policy is tiny next to 3 U-Net forwards).
-        ac_apply = jax.checkpoint(
-            lambda v, obs, carry: ac.predict_act_value(v, obs, carry))
+        # Rematerialize the policy conv trunk: without this, the scan saves the encoder
+        # activations of all T steps as backward residuals — ~27 GB at full size (4x
+        # inflated by TPU layout padding), which OOMs a 16 GB chip. Recomputing them in
+        # the backward costs ~4% of the step (the policy is tiny next to 3 U-Net fwd).
+        enc = jax.checkpoint(lambda v, obs: ac.encode(v, obs))
+        head = ac.head
+
+        # The policy trunk is evaluated in two batched calls per step instead of five
+        # small ones (main / final-obs / 3x burn-in): the current frame's features are
+        # CARRIED between steps (the main eval's input equals the previous step's
+        # final obs, or the IC's last frame on reset — encode commutes with the per-env
+        # where-select, so carrying features is value- and gradient-exact), and the
+        # post-reset context frames are encoded time-folded-into-batch. Burn-in then
+        # replays only the (cheap) LSTM steps (reference env_loop.py:50-56).
+        n_cond = st.act_buffer.shape[1]
+
+        def encode_context(obs_buffer):
+            bb = obs_buffer.shape[0]
+            flat = obs_buffer.reshape((bb * n_cond,) + obs_buffer.shape[2:])
+            return enc(ac_vars, flat).reshape(bb, n_cond, -1)
+
+        feat0 = enc(ac_vars, st.obs_buffer[:, -1])
 
         def scan_step(carry, step_rng):
-            st, pool = carry
+            st, pool, feat_cur = carry
             k_act, k_wm = jax.random.split(step_rng)
 
             # policy step WITH grad (reference env_loop.py:31-32)
-            out = ac_apply(ac_vars, st.obs_buffer[:, -1], (st.ac_hx, st.ac_cx))
+            out = head(ac_vars, feat_cur, (st.ac_hx, st.ac_cx))
             act = jax.random.categorical(k_act, out.logits_act, axis=-1)
 
             # world-model step (no grad)
@@ -211,42 +226,47 @@ class ImaginationEngine:
             dead = (end + trunc) > 0
 
             # value of the final obs with the PRE-reset policy carry, no grad
-            # (reference env_loop.py:46-48)
-            val_final = jax.lax.stop_gradient(
-                ac_apply(ac_vars, next_obs, out.carry).val)
+            # (reference env_loop.py:46-48). The features feed next step's main eval
+            # with grad; only the value head output is gradient-blocked, which matches
+            # the reference (the duplicate encoder eval it replaces was all-no-grad and
+            # contributed nothing).
+            feat_next = enc(ac_vars, next_obs)
+            val_final = jax.lax.stop_gradient(head(ac_vars, feat_next, out.carry).val)
 
             st2 = st2.replace(ac_hx=out.carry[0], ac_cx=out.carry[1])
             st2, pool = self._reset_dead(st2, pool, dead)
 
             # policy-LSTM reset + burn-in on the new context frames, WITH grad
-            # (reference env_loop.py:50-56). Burn-in replays obs_buffer[:, :-1] (the IC's
-            # first n_cond-1 frames) from a zero state; computed for all envs, applied to
-            # dead ones.
-            def burn(carry, obs_t):
-                o = ac_apply(ac_vars, obs_t, carry)
+            # (reference env_loop.py:50-56): one batched encode of the post-reset buffer,
+            # LSTM replay over the first n_cond-1 frames from a zero state; computed for
+            # all envs, applied to dead ones.
+            feats_ic = encode_context(st2.obs_buffer)  # (B, n_cond, F)
+
+            def burn(carry, f_t):
+                o = head(ac_vars, f_t, carry)
                 return o.carry, None
 
             zeros = (jnp.zeros_like(st2.ac_hx), jnp.zeros_like(st2.ac_cx))
             (b_hx, b_cx), _ = jax.lax.scan(
-                burn, zeros, jnp.moveaxis(st2.obs_buffer[:, :-1], 0, 1))
+                burn, zeros, jnp.moveaxis(feats_ic[:, :-1], 0, 1))
             m2 = dead[:, None]
             st2 = st2.replace(ac_hx=jnp.where(m2, b_hx, st2.ac_hx),
                               ac_cx=jnp.where(m2, b_cx, st2.ac_cx))
+            feat_carry = jnp.where(m2, feats_ic[:, -1], feat_next)
 
             ys = dict(act=act, rew=rew, end=end, trunc=trunc, logits_act=out.logits_act,
                       val=out.val, val_final=val_final, dead=dead)
-            return (st2, pool), ys
+            return (st2, pool, feat_carry), ys
 
         step_rngs = jax.random.split(rng, num_steps)
-        (st, pool), traj = jax.lax.scan(scan_step, (st, pool), step_rngs)
+        (st, pool, feat_last), traj = jax.lax.scan(scan_step, (st, pool, feat0), step_rngs)
         # scan stacks along axis 0 (time); transpose to (B, T)
         traj = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 0, 1), traj)
 
         # bootstrap values: next step's value, except the final-obs value where the env died
         # (reference env_loop.py:39-43, 64-70)
         val_extra = jax.lax.stop_gradient(
-            ac.predict_act_value(ac_vars, st.obs_buffer[:, -1],
-                                 (st.ac_hx, st.ac_cx)).val)
+            head(ac_vars, feat_last, (st.ac_hx, st.ac_cx)).val)
         val_next = jnp.concatenate(
             [jax.lax.stop_gradient(traj["val"][:, 1:]), val_extra[:, None]], axis=1)
         traj["val_bootstrap"] = jnp.where(traj["dead"], traj["val_final"], val_next)

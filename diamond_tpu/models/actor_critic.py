@@ -101,26 +101,41 @@ class ActorCriticEncoder(nn.Module):
 
 
 class ActorCriticNet(nn.Module):
-    """Single-step policy/value net (reference actor_critic.py:40-73)."""
+    """Single-step policy/value net (reference actor_critic.py:40-73).
+
+    Exposed in two halves — ``encode`` (the conv trunk) and ``head`` (LSTM step + actor/
+    critic linears) — so the fused imagination rollout can batch encoder evaluations
+    across burn-in frames and reuse the previous step's next-frame features
+    (envs/world_model_env.py). ``__call__`` composes them and is the reference API."""
 
     cfg: ActorCriticConfig
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self) -> None:
+        cfg = self.cfg
+        self.encoder = ActorCriticEncoder(cfg, dtype=self.dtype)
+        self.lstm = LSTMCell(cfg.lstm_dim, dtype=self.dtype)
+        self.actor_linear = nn.Dense(cfg.num_actions, dtype=jnp.float32,
+                                     kernel_init=nn.initializers.zeros,
+                                     bias_init=nn.initializers.zeros)
+        self.critic_linear = nn.Dense(1, dtype=jnp.float32,
+                                      kernel_init=nn.initializers.zeros,
+                                      bias_init=nn.initializers.zeros)
+
+    def encode(self, obs: jnp.ndarray) -> jnp.ndarray:
+        """obs: (B, H, W, C) float [-1,1] -> flat features (B, F)."""
+        x = self.encoder(obs)
+        return x.reshape(x.shape[0], -1)
+
+    def head(self, feat: jnp.ndarray, carry: Carry) -> ActorCriticOutput:
+        carry, hx = self.lstm(carry, feat)
+        logits_act = self.actor_linear(hx.astype(jnp.float32))
+        val = self.critic_linear(hx.astype(jnp.float32))[:, 0]
+        return ActorCriticOutput(logits_act, val, carry)
+
     def __call__(self, obs: jnp.ndarray, carry: Carry) -> ActorCriticOutput:
         """obs: (B, H, W, C) float [-1,1]."""
-        cfg = self.cfg
-        x = ActorCriticEncoder(cfg, dtype=self.dtype, name="encoder")(obs)
-        x = x.reshape(x.shape[0], -1)
-        carry, hx = LSTMCell(cfg.lstm_dim, dtype=self.dtype, name="lstm")(carry, x)
-        logits_act = nn.Dense(cfg.num_actions, dtype=jnp.float32,
-                              kernel_init=nn.initializers.zeros,
-                              bias_init=nn.initializers.zeros, name="actor_linear")(
-            hx.astype(jnp.float32))
-        val = nn.Dense(1, dtype=jnp.float32, kernel_init=nn.initializers.zeros,
-                       bias_init=nn.initializers.zeros, name="critic_linear")(
-            hx.astype(jnp.float32))[:, 0]
-        return ActorCriticOutput(logits_act, val, carry)
+        return self.head(self.encode(obs), carry)
 
 
 class ActorCritic:
@@ -143,6 +158,15 @@ class ActorCritic:
                           carry: Carry) -> ActorCriticOutput:
         """reference: src/models/actor_critic.py:68-73."""
         return self.net.apply(variables, obs, carry)
+
+    def encode(self, variables: Variables, obs: jnp.ndarray) -> jnp.ndarray:
+        """Conv trunk only -> (B, F) features (the rollout batches these calls)."""
+        return self.net.apply(variables, obs, method="encode")
+
+    def head(self, variables: Variables, feat: jnp.ndarray,
+             carry: Carry) -> ActorCriticOutput:
+        """LSTM step + actor/critic heads on precomputed features."""
+        return self.net.apply(variables, feat, carry, method="head")
 
     # -- loss ------------------------------------------------------------------
 

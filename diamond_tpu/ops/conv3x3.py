@@ -1,15 +1,14 @@
 """3x3 same-padding conv as an im2col matmul in VMEM.
 
-Why: the UNet's dominant convs are 64-channel (models/blocks.py), and a direct conv's MXU
-contraction dim is C=64 — half the 128 lanes, capping utilization at 25% of peak (measured
-36.6 TFLOP/s on v5e). Lifting the contraction to 9*C=576 via im2col raises the ceiling to
-50%. XLA's HBM-level im2col (conv_general_dilated_patches) loses to bandwidth (9x activation
-bytes); this kernel builds the patches in VMEM where the 9x amplification is free.
+Why: the UNet's dominant convs have 64 output channels (models/blocks.py) — half the MXU's
+128 lanes — and XLA's conv lowering measures 72 TF/s at (32,64,64,64)x(3,3,64,64) on v5e
+(fit-timed, dispatch overhead removed). An im2col matmul with the 9x patch amplification
+kept in VMEM avoids the HBM-level im2col's bandwidth blowup and lets us fuse epilogues.
 
-Layout: x (B, H, W, C) bf16, kernel (3, 3, C, Cout) reshaped to (9C, Cout). Grid over
-(B, H/Bh); row blocks overlap by a 1-row halo, so the input stays unblocked in HBM and each
-program DMAs its (Bh+2, W+2, C) halo slab into VMEM scratch, forms (Bh*W, 9C) patches there,
-and runs one MXU matmul.
+Layout: x (B, H, W, C) bf16, kernel (3, 3, C, Cout) reshaped to (9C, Cout) in (ky, kx, c)
+order. Grid over batch elements; each program's block is one full padded image
+(1, H+2, W+2, C); patches are built in VMEM with 9 shifted copies and contracted in one
+MXU matmul (M=H*W, K=9C).
 """
 
 from __future__ import annotations
@@ -22,49 +21,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _conv_kernel(bh: int, w: int, c: int, cout: int,
-                 x_hbm, k_ref, o_ref, slab, patches, sem):
-    j = pl.program_id(1)
-    # halo slab: rows [j*bh, j*bh + bh+2) of the padded input
-    dma = pltpu.make_async_copy(x_hbm.at[0, pl.ds(j * bh, bh + 2)], slab, sem)
-    dma.start()
-    dma.wait()
+def _conv_kernel(h: int, w: int, c: int, cout: int, x_ref, k_ref, o_ref, patches):
     for dy in range(3):
         for dx in range(3):
-            sl = slab[dy:dy + bh, dx:dx + w, :]  # (bh, w, c)
-            patches[:, (dy * 3 + dx) * c:(dy * 3 + dx + 1) * c] = sl.reshape(bh * w, c)
+            sl = x_ref[0, dy:dy + h, dx:dx + w, :]  # (h, w, c)
+            patches[:, (dy * 3 + dx) * c:(dy * 3 + dx + 1) * c] = sl.reshape(h * w, c)
     out = jnp.dot(patches[:], k_ref[:], preferred_element_type=jnp.float32)
-    o_ref[0] = out.reshape(bh, w, cout).astype(o_ref.dtype)
+    o_ref[0] = out.reshape(h, w, cout).astype(o_ref.dtype)
 
 
-def conv3x3_im2col(x: jnp.ndarray, kernel: jnp.ndarray, block_h: int = 8,
+def conv3x3_im2col(x: jnp.ndarray, kernel: jnp.ndarray,
                    interpret: bool = False) -> jnp.ndarray:
     """y = conv3x3(x, kernel), stride 1, SAME padding.
-    x: (B, H, W, C); kernel: (3, 3, C, Cout). H must be divisible by block_h."""
+    x: (B, H, W, C); kernel: (3, 3, C, Cout)."""
     b, h, w, c = x.shape
     kh, kw, kc, cout = kernel.shape
     assert (kh, kw, kc) == (3, 3, c)
-    assert h % block_h == 0
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     kmat = kernel.reshape(9 * c, cout)
 
-    kern = functools.partial(_conv_kernel, block_h, w, c, cout)
+    kern = functools.partial(_conv_kernel, h, w, c, cout)
     return pl.pallas_call(
         kern,
-        grid=(b, h // block_h),
+        grid=(b,),
         in_specs=[
-            # per-batch-element view; the kernel DMAs its own overlapping row slab
-            pl.BlockSpec((1, h + 2, w + 2, c), lambda i, j: (i, 0, 0, 0),
-                         memory_space=pl.ANY),
-            pl.BlockSpec((9 * c, cout), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h + 2, w + 2, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * c, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_h, w, cout), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, h, w, cout), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_h + 2, w + 2, c), x.dtype),
-            pltpu.VMEM((block_h * w, 9 * c), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((h * w, 9 * c), x.dtype),
         ],
         interpret=interpret,
     )(xp, kmat)

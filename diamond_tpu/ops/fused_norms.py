@@ -1,12 +1,19 @@
 """Fused GroupNorm(+FiLM)+SiLU Pallas kernels.
 
-The ResBlock epilogue chain norm -> affine/FiLM -> SiLU sits between convs
-(models/blocks.py ResBlock, reference src/models/blocks.py:129-147) and is HBM-bandwidth
-bound: unfused it costs ~3 passes over a (B, H, W, C) activation. These kernels do the
-statistics and the normalize+modulate+activate in a single VMEM-resident pass per batch row.
+The ResBlock chain norm -> affine/FiLM -> SiLU sits between convs (models/blocks.py
+ResBlock, reference src/models/blocks.py:129-147) and is HBM-bandwidth bound: unfused it
+costs ~3 passes over a (B, H, W, C) activation (measured 0.086 ms at 32x64x64x64 on v5e,
+~390 GB/s effective). These kernels do the statistics and the normalize+modulate+activate
+in a single VMEM-resident pass per batch element: one read + one write of x.
 
-Grid: one program per batch element; the (H, W, C) slab (64*64*64*4B = 1MB at the default
-sizes) fits comfortably in VMEM. Stats accumulate in float32.
+Mosaic notes (what it refuses, learned on hardware):
+  * no reshapes that split/move the minor (lane) dim — group statistics are therefore
+    computed per-CHANNEL first (reductions over the sublane dims only), then reduced to
+    groups with a tiny (C, G) one-hot matmul and broadcast back with its transpose;
+  * scalar per-program operands (the FiLM row) are read with a dynamic sublane index,
+    which is legal, from a full-array VMEM block.
+
+Stats accumulate in float32.
 """
 
 from __future__ import annotations
@@ -21,32 +28,46 @@ from jax.experimental.pallas import tpu as pltpu
 GN_EPS = 1e-5
 
 
-def _gn_stats(x32: jnp.ndarray, num_groups: int):
-    """x32: (H, W, C) float32 -> per-group mean/var, each (num_groups,)."""
+def _group_onehot(c: int, num_groups: int, dtype=jnp.float32):
+    """(C, G) one-hot: channel ch belongs to group ch // (c // num_groups)."""
+    gsize = c // num_groups
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 0)
+    g = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
+    return (ch // gsize == g).astype(dtype)
+
+
+def _gn_stats_channels(x32: jnp.ndarray, num_groups: int):
+    """x32: (H, W, C) float32 -> broadcast-ready per-channel (mean_c, inv_c), each (C,)."""
     h, w, c = x32.shape
-    xg = x32.reshape(h * w, num_groups, c // num_groups)
-    mean = xg.mean(axis=(0, 2))
-    var = (xg * xg).mean(axis=(0, 2)) - mean * mean
-    return mean, var
+    gsize = c // num_groups
+    n = h * w * gsize
+    s = jnp.sum(x32, axis=(0, 1))[None, :]          # (1, C)
+    sq = jnp.sum(x32 * x32, axis=(0, 1))[None, :]   # (1, C)
+    m = _group_onehot(c, num_groups)                # (C, G)
+    mean_g = (s @ m) / n                            # (1, G)
+    var_g = (sq @ m) / n - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + GN_EPS)
+    mean_c = (mean_g @ m.T)[0]                      # (C,)
+    inv_c = (inv_g @ m.T)[0]
+    return mean_c, inv_c
 
 
-def _gn_silu_kernel(num_groups: int, x_ref, scale_ref, bias_ref, o_ref):
+def _gn_silu_kernel(num_groups: int, silu: bool, x_ref, scale_ref, bias_ref, o_ref):
     x = x_ref[0].astype(jnp.float32)  # (H, W, C)
-    h, w, c = x.shape
-    mean, var = _gn_stats(x, num_groups)
-    inv = jax.lax.rsqrt(var + GN_EPS)
-    mean_c = jnp.repeat(mean, c // num_groups)
-    inv_c = jnp.repeat(inv, c // num_groups)
+    mean_c, inv_c = _gn_stats_channels(x, num_groups)
     y = (x - mean_c) * inv_c
     y = y * scale_ref[:] + bias_ref[:]
-    o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
 
 
 def fused_groupnorm_silu(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
-                         num_groups: int, interpret: bool = False) -> jnp.ndarray:
+                         num_groups: int, silu: bool = True,
+                         interpret: bool = False) -> jnp.ndarray:
     """SiLU(GroupNorm(x) * scale + bias); x: (B, H, W, C), scale/bias: (C,)."""
     b, h, w, c = x.shape
-    kernel = functools.partial(_gn_silu_kernel, num_groups)
+    kernel = functools.partial(_gn_silu_kernel, num_groups, silu)
     return pl.pallas_call(
         kernel,
         grid=(b,),
@@ -62,15 +83,12 @@ def fused_groupnorm_silu(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     )(x, scale.astype(jnp.float32), bias.astype(jnp.float32))
 
 
-def _adagn_silu_kernel(num_groups: int, x_ref, ss_ref, o_ref):
+def _adagn_silu_kernel(num_groups: int, x_ref, scale_ref, shift_ref, o_ref):
+    i = pl.program_id(0)
     x = x_ref[0].astype(jnp.float32)  # (H, W, C)
-    h, w, c = x.shape
-    mean, var = _gn_stats(x, num_groups)
-    inv = jax.lax.rsqrt(var + GN_EPS)
-    mean_c = jnp.repeat(mean, c // num_groups)
-    inv_c = jnp.repeat(inv, c // num_groups)
-    ss = ss_ref[0].astype(jnp.float32)  # (2C,) FiLM params of this batch element
-    scale, shift = ss[:c], ss[c:]
+    mean_c, inv_c = _gn_stats_channels(x, num_groups)
+    scale = scale_ref[i].astype(jnp.float32)  # (C,) FiLM params of this batch element
+    shift = shift_ref[i].astype(jnp.float32)
     y = (x - mean_c) * inv_c
     y = y * (1.0 + scale) + shift
     o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
@@ -83,16 +101,21 @@ def fused_adagn_silu(x: jnp.ndarray, scale_shift: jnp.ndarray, num_groups: int,
     (reference src/models/blocks.py:34-45 + the SiLU that always follows it)."""
     b, h, w, c = x.shape
     assert scale_shift.shape == (b, 2 * c)
+    # split in XLA: an in-kernel lane slice at offset C would be misaligned for C < 128
+    scale = scale_shift[:, :c].astype(jnp.float32)
+    shift = scale_shift[:, c:].astype(jnp.float32)
     kernel = functools.partial(_adagn_silu_kernel, num_groups)
     return pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # full (B, C) arrays resident; the kernel indexes its row by program id
+            pl.BlockSpec((b, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
-    )(x, scale_shift)
+    )(x, scale, shift)
