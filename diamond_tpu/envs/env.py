@@ -34,19 +34,32 @@ def make_env(id: str, num_envs: int, done_on_life_loss: bool, size: int,
 
 def make_atari_env(id: str, num_envs: int, done_on_life_loss: bool, size: int,
                    max_episode_steps: Optional[int]) -> "NumpyEnv":
-    """reference: src/envs/env.py:14-48. Requires ale-py (not bundled in this image)."""
+    """reference: src/envs/env.py:14-48. Real ALE ids require ale-py (not bundled in this
+    image); 'FakeALE*' ids run the identical stack against the scripted ALE double
+    (envs/fake_ale.py)."""
     try:
-        import ale_py  # noqa: F401
         import gymnasium
         from gymnasium.vector import AsyncVectorEnv, AutoresetMode
     except ImportError as e:  # pragma: no cover
         raise ImportError(
-            "Atari environments need gymnasium + ale-py; use env id 'Fake-v0' for the "
-            "synthetic env.") from e
+            "Atari environments need gymnasium; use env id 'Fake-v0' for the synthetic "
+            "env.") from e
+
+    is_fake_ale = id.startswith("FakeALE")
+    if not is_fake_ale:
+        try:
+            import ale_py  # noqa: F401
+        except ImportError as e:  # pragma: no cover
+            raise ImportError(
+                "Real Atari environments need ale-py; use env id 'Fake-v0' (synthetic) or "
+                "'FakeALENoFrameskip-v4' (scripted ALE double).") from e
 
     from .atari_preprocessing import AtariPreprocessing
 
     def env_fn():
+        if is_fake_ale:  # (re-)register in this process — env_fn may run in a worker
+            from .fake_ale import register_fake_ale
+            register_fake_ale()
         env = gymnasium.make(id, full_action_space=False, frameskip=1,
                              render_mode="rgb_array", max_episode_steps=max_episode_steps)
         return AtariPreprocessing(env=env, noop_max=30, frame_skip=4, screen_size=size)
