@@ -41,13 +41,15 @@ class NumToCollect:
 class Collector:
     def __init__(self, env: Any, actor_critic: Any, get_variables, dataset: Dataset,
                  epsilon: float = 0.0, reset_every_collect: bool = False,
-                 seed: Optional[int] = None, verbose: bool = True) -> None:
+                 seed: Optional[int] = None, verbose: bool = True,
+                 epsilon_per_env: bool = False) -> None:
         self.env = env
         self.dataset = dataset
         self.reset_every_collect = reset_every_collect
         self.verbose = verbose
         self._make_env_loop = lambda: EnvLoop(env, actor_critic, get_variables,
-                                              epsilon=epsilon, seed=seed)
+                                              epsilon=epsilon, seed=seed,
+                                              epsilon_per_env=epsilon_per_env)
         self._env_loop: Optional[EnvLoop] = None
         self._buffer: Dict[int, List] = {}
         self._episode_ids: Dict[int, Optional[int]] = {}

@@ -6,8 +6,8 @@ envs/world_model_env.py instead).
 
 Matched semantics (reference env_loop.py:24-74):
   * LSTM state carried across sends (functionally detached: it re-enters jit as data),
-  * epsilon-greedy mixing (per-env here; the reference flips the whole batch at once,
-    env_loop.py:34-35 — identical for the default num_envs=1),
+  * epsilon-greedy mixing (whole-batch flip by default, matching the reference
+    env_loop.py:34-35; per-env mixing via ``epsilon_per_env=True``),
   * on death: value of ``final_observation`` computed with the PRE-reset LSTM state and
     patched into the previous step's bootstrap (env_loop.py:39-43, 64-70), state zeroed via a
     reset gate (env_loop.py:50-52), and re-burned-in on ``burnin_obs`` for world-model resets
@@ -33,11 +33,12 @@ from ..models.actor_critic import ActorCritic
 class EnvLoop:
     def __init__(self, env: Any, actor_critic: ActorCritic,
                  get_variables: Callable[[], Any], epsilon: float = 0.0,
-                 seed: Optional[int] = None) -> None:
+                 seed: Optional[int] = None, epsilon_per_env: bool = False) -> None:
         self.env = env
         self.ac = actor_critic
         self.get_variables = get_variables
         self.epsilon = float(epsilon)
+        self.epsilon_per_env = bool(epsilon_per_env)
         self._rng = np.random.default_rng(seed)
         self._base_key = jax.random.PRNGKey(
             seed if seed is not None else int(self._rng.integers(0, 2 ** 31 - 1)))
@@ -55,7 +56,10 @@ class EnvLoop:
             k1, k2, k3 = jax.random.split(jax.random.fold_in(key, step), 3)
             act = jax.random.categorical(k1, out.logits_act, axis=-1)
             rand_act = jax.random.randint(k2, act.shape, 0, num_actions)
-            explore = jax.random.uniform(k3, act.shape) < epsilon
+            # epsilon-greedy: the reference flips the WHOLE batch with one draw
+            # (reference env_loop.py:34-35); per-env mixing is available as an opt-in
+            explore_shape = act.shape if self.epsilon_per_env else ()
+            explore = jax.random.uniform(k3, explore_shape) < epsilon
             act = jnp.where(explore, rand_act, act)
             return act, out.logits_act, out.val, out.carry[0], out.carry[1]
 

@@ -18,8 +18,10 @@ lives in envs/wm_env_stateful.py, built on the same transition functions.
 
 from __future__ import annotations
 
+import threading
+import time
 from dataclasses import dataclass
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -212,8 +214,12 @@ class ImaginationEngine:
 
         feat0 = enc(ac_vars, st.obs_buffer[:, -1])
 
+        # Only the pool POINTER is carried through the scan; the pool arrays are
+        # loop-invariant closures. Threading the full pool (hundreds of MB) through the
+        # carry makes XLA double-buffer-copy it every step (~0.5 ms/step measured).
         def scan_step(carry, step_rng):
-            st, pool, feat_cur = carry
+            st, ptr, feat_cur = carry
+            pool_t = pool.replace(ptr=ptr)
             k_act, k_wm = jax.random.split(step_rng)
 
             # policy step WITH grad (reference env_loop.py:31-32)
@@ -234,7 +240,7 @@ class ImaginationEngine:
             val_final = jax.lax.stop_gradient(head(ac_vars, feat_next, out.carry).val)
 
             st2 = st2.replace(ac_hx=out.carry[0], ac_cx=out.carry[1])
-            st2, pool = self._reset_dead(st2, pool, dead)
+            st2, pool_t = self._reset_dead(st2, pool_t, dead)
 
             # policy-LSTM reset + burn-in on the new context frames, WITH grad
             # (reference env_loop.py:50-56): one batched encode of the post-reset buffer,
@@ -256,10 +262,12 @@ class ImaginationEngine:
 
             ys = dict(act=act, rew=rew, end=end, trunc=trunc, logits_act=out.logits_act,
                       val=out.val, val_final=val_final, dead=dead)
-            return (st2, pool, feat_carry), ys
+            return (st2, pool_t.ptr, feat_carry), ys
 
         step_rngs = jax.random.split(rng, num_steps)
-        (st, pool, feat_last), traj = jax.lax.scan(scan_step, (st, pool, feat0), step_rngs)
+        (st, ptr, feat_last), traj = jax.lax.scan(scan_step, (st, pool.ptr, feat0),
+                                                  step_rngs)
+        pool = pool.replace(ptr=ptr)
         # scan stacks along axis 0 (time); transpose to (B, T)
         traj = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 0, 1), traj)
 
@@ -293,18 +301,29 @@ class ImaginationEngine:
 
 class PoolManager:
     """Host-side refill of the device IC pool from the episode dataset (replaces the
-    reference's generator_init DataLoader preloading, world_model_env.py:107-139)."""
+    reference's generator_init DataLoader preloading, world_model_env.py:107-139).
+
+    Double-buffered: after handing out a pool, a daemon thread immediately starts
+    assembling the NEXT one (disk sampling + stacking + chunked device burn-in), so by
+    the time the current pool is consumed the swap is free — the reference amortizes the
+    same cost with its preloading generator. ``last_refill_wait_s`` records any residual
+    synchronous wait (0 when the background build won the race)."""
 
     def __init__(self, engine: ImaginationEngine, dataset, sampler, pool_size: int,
-                 chunk: int = 1024) -> None:
+                 chunk: int = 1024, background: bool = True) -> None:
         self.engine = engine
         self.dataset = dataset
         self.sampler = sampler  # BatchSampler with batch_size == chunk, seq_length == n_cond
         self.pool_size = pool_size
         self.chunk = chunk
+        self.background = background
+        self.last_refill_wait_s = 0.0
         self._prepare = make_ic_preparer(engine.rew_end_model)
+        self._pending: Optional[threading.Thread] = None
+        self._next_pool: Optional[ICPool] = None
 
     def build_pool(self, r_vars: Variables) -> ICPool:
+        """Synchronous full build (burn-in uses the given reward/end weights)."""
         obs_list, act_list, hx_list, cx_list = [], [], [], []
         remaining = self.pool_size
         while remaining > 0:
@@ -326,6 +345,39 @@ class PoolManager:
             cx=jnp.concatenate(cx_list),
             ptr=jnp.asarray(0, jnp.int32),
         )
+
+    def _kick(self, r_vars: Variables) -> None:
+        """Start building the next pool in the background (weights captured now, exactly
+        like the reference preloading at reset time)."""
+        if not self.background:
+            return
+
+        def work() -> None:
+            self._next_pool = self.build_pool(r_vars)
+
+        self._pending = threading.Thread(target=work, daemon=True,
+                                         name="diamond-pool-builder")
+        self._pending.start()
+
+    def ensure(self, pool: Optional[ICPool], r_vars: Variables,
+               max_consumption: int) -> Tuple[Optional[ICPool], bool]:
+        """Return (pool, swapped): a pool with enough unconsumed entries for one step."""
+        if pool is None:
+            pool = self.build_pool(r_vars)
+            self._kick(r_vars)
+            return pool, True
+        if not self.needs_refill(pool, max_consumption):
+            return pool, False
+        t0 = time.perf_counter()
+        if self._pending is not None:
+            self._pending.join()
+            pool = self._next_pool
+            self._pending, self._next_pool = None, None
+        else:
+            pool = self.build_pool(r_vars)
+        self.last_refill_wait_s = time.perf_counter() - t0
+        self._kick(r_vars)
+        return pool, True
 
     def needs_refill(self, pool: ICPool, max_consumption: int) -> bool:
         return int(pool.ptr) + max_consumption > pool.size

@@ -280,12 +280,12 @@ class Trainer:
             self._pool_manager = PoolManager(self.engine, self.train_dataset, sampler,
                                              pool_size, chunk=chunk)
         max_consumption = self._loss_cfg.backup_every * c.batch_size + c.batch_size
-        if self._pool is None or self._pool_manager.needs_refill(self._pool, max_consumption):
-            self._pool = self._pool_manager.build_pool(self._r_variables())
-            if self._mesh is not None:
-                from .parallel import shard_pool
+        self._pool, swapped = self._pool_manager.ensure(self._pool, self._r_variables(),
+                                                        max_consumption)
+        if swapped and self._mesh is not None:
+            from .parallel import shard_pool
 
-                self._pool = shard_pool(self._pool, self._mesh)
+            self._pool = shard_pool(self._pool, self._mesh)
         if self._imag_state is None:
             self._imag_state, self._pool = self.engine.initial_state(self._pool,
                                                                      c.batch_size)
@@ -456,6 +456,9 @@ class Trainer:
                     state, self._d_variables(), self._r_variables(), self._imag_state,
                     self._pool, self._next_key())
                 self.train_states[name] = state
+                metrics = dict(metrics,
+                               pool_refill_wait_s=self._pool_manager.last_refill_wait_s)
+                self._pool_manager.last_refill_wait_s = 0.0
                 self._finish_step_metrics(name, metrics, to_log, spec, state)
 
         self.train_states[name] = state

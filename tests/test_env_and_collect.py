@@ -98,3 +98,32 @@ def test_collector_roundtrip(tmp_path):
     # all stored episodes are complete (dead at the end)
     for eid in range(ds2.num_episodes):
         assert ds2.load_episode(eid).dead[-1] == 1
+
+
+def test_epsilon_greedy_whole_batch_vs_per_env():
+    """Reference parity: one exploration coin per STEP for the whole batch
+    (reference env_loop.py:34-35); per-env mixing only with epsilon_per_env=True.
+    With a policy pinned to action 0, whole-batch steps are bimodal in the number of
+    non-zero actions (0 when exploiting, ~3/4 of the batch when exploring), while
+    per-env steps frequently land in between."""
+    env = FakeEnv(num_envs=16, size=SIZE, max_episode_steps=1000)
+    ac, variables = small_ac()
+    # pin the policy: actor bias strongly favors action 0
+    bias = variables["params"]["actor_linear"]["bias"]
+    variables["params"]["actor_linear"]["bias"] = bias.at[0].set(25.0)
+
+    def nonzero_fracs(epsilon_per_env):
+        loop = EnvLoop(env, ac, lambda: variables, epsilon=0.5, seed=4,
+                       epsilon_per_env=epsilon_per_env)
+        _, act, *_ = loop.send(64)
+        return (act != 0).mean(axis=0)  # per-step fraction of explored-looking actions
+
+    f_batch = nonzero_fracs(False)
+    f_perenv = nonzero_fracs(True)
+    # whole-batch: each step all-exploit (frac exactly 0) or all-explore (frac binomial
+    # around 2/3 for 3 actions; P(<0.3) ~ 1e-3); nothing in the dead zone (0, 0.3)
+    assert ((f_batch == 0) | (f_batch >= 0.3)).all()
+    assert (f_batch == 0).any() and (f_batch >= 0.3).any()
+    # per-env: explored-action fraction ~ Binomial(16, 1/3)/16 -> the (0, 0.3) dead zone
+    # is hit often
+    assert ((f_perenv > 0) & (f_perenv < 0.3)).mean() > 0.15
