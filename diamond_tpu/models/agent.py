@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..utils import load_pickle, save_with_backup
 from .actor_critic import ActorCritic, ActorCriticConfig
 from .denoiser import Denoiser, DenoiserConfig
 from .rew_end_model import RewEndModel, RewEndModelConfig
@@ -80,12 +79,16 @@ class Agent:
         self.variables = jax.tree_util.tree_map(jnp.asarray, sd)
 
     def save(self, path: Path) -> None:
-        save_with_backup(self.state_dict(), path)
+        from ..checkpoint import save_agent_snapshot
+
+        save_agent_snapshot(self.state_dict(), path)
 
     def load(self, path_to_ckpt: Path, load_denoiser: bool = True,
              load_rew_end_model: bool = True, load_actor_critic: bool = True) -> None:
-        """reference: src/agent.py:48-62."""
-        sd = load_pickle(Path(path_to_ckpt))
+        """reference: src/agent.py:48-62. Accepts stable npz snapshots or legacy pickles."""
+        from ..checkpoint import load_agent_snapshot
+
+        sd = load_agent_snapshot(Path(path_to_ckpt))
         flags = {"denoiser": load_denoiser, "rew_end_model": load_rew_end_model,
                  "actor_critic": load_actor_critic}
         for name, flag in flags.items():

@@ -138,13 +138,18 @@ class Trainer:
                            for name in MODEL_NAMES}
 
         def build_tx(name: str):
-            # grad accumulation: mean of micro-batch grads applied every k micro-steps
-            # (reference trainer.py:368-379 sums without rescaling; the mean convention is
-            # kept here so LR means the same thing at any grad_acc_steps)
+            # grad accumulation: mean of micro-batch grads applied every k micro-steps by
+            # default (LR means the same thing at any grad_acc_steps). The reference sums
+            # micro-grads without rescaling (reference trainer.py:368-379); set
+            # tpu.grad_acc_sum=True for exact parity in grad-acc runs.
             import optax
             tx = self._opt_specs[name].build()
             k = int(cfg[name].training.grad_acc_steps)
-            return optax.MultiSteps(tx, every_k_schedule=k) if k > 1 else tx
+            if k <= 1:
+                return tx
+            if bool(cfg.tpu.grad_acc_sum):
+                tx = optax.chain(optax.scale(float(k)), tx)  # mean * k == unscaled sum
+            return optax.MultiSteps(tx, every_k_schedule=k)
 
         self._tx = {name: build_tx(name) for name in MODEL_NAMES}
         sigma_cfg = SigmaDistributionConfig(**cfg.denoiser.sigma_distribution)

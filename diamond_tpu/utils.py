@@ -103,7 +103,7 @@ def get_path_agent_ckpt(path_ckpt_dir: Union[str, Path], epoch: int, num_zeros: 
     """reference: src/utils.py:199-206 (negative epoch indexes from the end)."""
     d = Path(path_ckpt_dir) / "agent_versions"
     if epoch >= 0:
-        return d / f"agent_epoch_{epoch:0{num_zeros}d}.pt"
+        return d / f"agent_epoch_{epoch:0{num_zeros}d}.npz"
     all_ = sorted(d.iterdir())
     assert len(all_) >= -epoch
     return all_[epoch]
@@ -119,9 +119,11 @@ def keep_agent_copies_every(
     """Rotating weights-only snapshots (reference: src/utils.py:209-230)."""
     assert every > 0
     assert num_to_keep is None or num_to_keep > 0
+    from .checkpoint import save_agent_snapshot
+
     get_path = partial(get_path_agent_ckpt, path_ckpt_dir)
     get_path(0).parent.mkdir(parents=True, exist_ok=True)
-    save_with_backup(agent_sd, get_path(epoch))
+    save_agent_snapshot(agent_sd, get_path(epoch))  # stable npz format (checkpoint.py)
     if (num_to_keep is not None) and (epoch % every == 0):
         get_path(max(0, epoch - num_to_keep * every)).unlink(missing_ok=True)
     if (epoch - 1) % every != 0:

@@ -198,3 +198,52 @@ def test_agent_checkpoint_roundtrip(tmp_path):
     d2 = jax.tree_util.tree_leaves(agent2.variables["denoiser"])
     for a, b in zip(d1, d2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_agent_snapshot_npz_format(tmp_path):
+    """Weights-only snapshots are flat-keyed npz readable by plain numpy
+    (diamond_tpu/checkpoint.py), and legacy pickles still load."""
+    import pickle
+
+    import numpy as np
+
+    from diamond_tpu.checkpoint import load_agent_snapshot
+    from diamond_tpu.models.agent import Agent, AgentConfig
+    from diamond_tpu.models import (ActorCriticConfig, DenoiserConfig, InnerModelConfig,
+                                    RewEndModelConfig)
+
+    cfg = AgentConfig(
+        denoiser=DenoiserConfig(
+            inner_model=InnerModelConfig(img_channels=3, num_steps_conditioning=2,
+                                         cond_channels=8, depths=[1], channels=[8],
+                                         attn_depths=[0]),
+            sigma_data=0.5, sigma_offset_noise=0.3),
+        rew_end_model=RewEndModelConfig(lstm_dim=8, img_channels=3, img_size=16,
+                                        cond_channels=8, depths=[1], channels=[8],
+                                        attn_depths=[0]),
+        actor_critic=ActorCriticConfig(lstm_dim=8, img_channels=3, img_size=16,
+                                       channels=[8], down=[1]),
+        num_actions=3)
+    agent = Agent(cfg).init(jax.random.PRNGKey(0), img_size=16)
+    p = tmp_path / "agent.npz"
+    agent.save(p)
+
+    # plain-numpy readable, flat "/"-joined keys
+    z = np.load(p)
+    assert any(k.startswith("denoiser/params/") for k in z.files)
+
+    agent2 = Agent(cfg).init(jax.random.PRNGKey(1), img_size=16)
+    agent2.load(p)
+    a = jax.tree_util.tree_leaves(agent.variables)
+    b = jax.tree_util.tree_leaves(agent2.variables)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # legacy pickle round-trip through the same loader
+    pkl = tmp_path / "agent.pkl"
+    with pkl.open("wb") as f:
+        pickle.dump(agent.state_dict(), f)
+    agent3 = Agent(cfg).init(jax.random.PRNGKey(2), img_size=16)
+    agent3.load(pkl)
+    for x, y in zip(a, jax.tree_util.tree_leaves(agent3.variables)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
