@@ -29,11 +29,20 @@ ICProvider = Callable[[int], Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarra
 
 
 class WorldModelEnv:
-    """num_envs fixed at construction; obs in/out are uint8 numpy (B, H, W, C)."""
+    """num_envs fixed at construction; obs in/out are uint8 numpy (B, H, W, C).
+
+    Two-stage mode (``upsampler`` set): the dynamics run at low resolution
+    (dataset resolution / upsampling_factor) and every displayed frame is super-resolved by
+    the upsampler's EDM sampling loop (csgo-branch capability; models/diffusion_sampler.py
+    TwoStageSampler). IC frames arrive at dataset (full) resolution and are area-downsampled
+    into the low-res buffers; the full-res originals are kept for display."""
 
     def __init__(self, engine: ImaginationEngine, d_vars_getter: Callable[[], Any],
                  r_vars_getter: Callable[[], Any], ic_provider: ICProvider, num_envs: int,
-                 seed: int = 0, return_denoising_trajectory: bool = False) -> None:
+                 seed: int = 0, return_denoising_trajectory: bool = False,
+                 upsampler: Optional[Any] = None,
+                 u_vars_getter: Optional[Callable[[], Any]] = None,
+                 upsampler_sampler_cfg: Optional[Any] = None) -> None:
         self.engine = engine
         self.num_envs = num_envs
         self.horizon = engine.cfg.horizon
@@ -43,6 +52,17 @@ class WorldModelEnv:
         self._rng = jax.random.PRNGKey(seed)
         self._return_traj = return_denoising_trajectory
         self._st: Optional[ImagState] = None
+
+        self._factor = 1
+        if upsampler is not None:
+            from ..models.diffusion_sampler import TwoStageSampler
+
+            cascade = TwoStageSampler(engine.sampler, upsampler,
+                                      upsampler_sampler_cfg or engine.sampler.cfg)
+            self._factor = cascade.factor
+            self._u_vars = u_vars_getter
+            self._upsample = jax.jit(cascade.upsample)
+            self._display_obs: Optional[np.ndarray] = None  # (B, H, W, C) uint8 full-res
 
         def step_fn(d_vars, r_vars, st: ImagState, act, rng):
             st2, next_obs, rew, end, trunc = engine._wm_transition(d_vars, r_vars, st, act,
@@ -77,6 +97,14 @@ class WorldModelEnv:
         return (jnp.asarray(obs_u8), jnp.asarray(act, jnp.int32), jnp.asarray(hx),
                 jnp.asarray(cx))
 
+    def _to_buffer_res(self, obs_float: jnp.ndarray) -> jnp.ndarray:
+        """Dataset-resolution frames -> dynamics-model resolution (two-stage mode)."""
+        if self._factor == 1:
+            return obs_float
+        from ..models.denoiser import downsample_avg, quantize_to_uint8_grid
+
+        return quantize_to_uint8_grid(downsample_avg(obs_float, self._factor))
+
     def reset(self, seed: Optional[Any] = None, **kwargs) -> Tuple[np.ndarray, Dict]:
         if seed is not None:
             s = int(np.sum(seed)) if isinstance(seed, (list, tuple, np.ndarray)) else int(seed)
@@ -84,9 +112,12 @@ class WorldModelEnv:
         obs, act, hx, cx = self._fetch_ics(self.num_envs)
         b, d = self.num_envs, hx.shape[-1]
         self._st = ImagState(
-            obs_buffer=obs_to_float(obs), act_buffer=act, re_hx=hx, re_cx=cx,
-            ac_hx=jnp.zeros((b, d)), ac_cx=jnp.zeros((b, d)),
+            obs_buffer=self._to_buffer_res(obs_to_float(obs)), act_buffer=act, re_hx=hx,
+            re_cx=cx, ac_hx=jnp.zeros((b, d)), ac_cx=jnp.zeros((b, d)),
             ep_len=jnp.zeros((b,), jnp.int32))
+        if self._factor > 1:  # display the full-res originals of the ICs
+            self._display_obs = np.asarray(obs[:, -1]).copy()
+            return self._display_obs.copy(), {}
         return obs_to_uint8(np.asarray(self._st.obs_buffer[:, -1])), {}
 
     def step(self, act: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
@@ -106,29 +137,56 @@ class WorldModelEnv:
         if self._return_traj:
             info["denoising_trajectory"] = np.asarray(out["denoising_trajectory"])
 
+        if self._factor > 1:  # super-resolve the new low-res frame for display
+            high = obs_to_uint8(np.asarray(
+                self._upsample(self._u_vars(), self._next_key(), out["next_obs"])))
+            self._display_obs = high.copy()
+            info["low_res_obs"] = obs_to_uint8(next_obs)
+            final_obs_pool = high
+        else:
+            final_obs_pool = obs_to_uint8(next_obs)
+
         if dead.any():
-            info["final_observation"] = obs_to_uint8(next_obs[dead])
+            info["final_observation"] = final_obs_pool[dead]
             n = int(dead.sum())
             obs_ic, act_ic, hx_ic, cx_ic = self._fetch_ics(n)
             idx = jnp.asarray(np.nonzero(dead)[0])
             self._st = self._st.replace(
-                obs_buffer=self._st.obs_buffer.at[idx].set(obs_to_float(obs_ic)),
+                obs_buffer=self._st.obs_buffer.at[idx].set(
+                    self._to_buffer_res(obs_to_float(obs_ic))),
                 act_buffer=self._st.act_buffer.at[idx].set(act_ic),
                 re_hx=self._st.re_hx.at[idx].set(hx_ic),
                 re_cx=self._st.re_cx.at[idx].set(cx_ic),
                 ep_len=self._st.ep_len.at[idx].set(0))
             info["burnin_obs"] = obs_to_uint8(np.asarray(self._st.obs_buffer))[dead][:, :-1]
+            if self._factor > 1:  # display the full-res originals of the fresh ICs
+                self._display_obs[dead] = np.asarray(obs_ic)[:, -1]
 
+        if self._factor > 1:
+            return self._display_obs.copy(), rew, end, trunc, info
         obs = obs_to_uint8(np.asarray(self._st.obs_buffer[:, -1]))
         return obs, rew, end, trunc, info
 
 
-def make_dataset_ic_provider(dataset, sampler, rew_end_model, r_vars_getter) -> ICProvider:
+def make_dataset_ic_provider(dataset, sampler, rew_end_model, r_vars_getter,
+                             downsample_factor: int = 1) -> ICProvider:
     """IC provider backed by real episodes: sample conditioning segments + burn in the
-    reward/end LSTM (the play-mode analogue of reference world_model_env.py:107-139)."""
+    reward/end LSTM (the play-mode analogue of reference world_model_env.py:107-139).
+
+    ``downsample_factor`` > 1 (two-stage mode): the reward/end model lives at the dynamics
+    model's low resolution, so burn-in runs on the area-downsampled frames; the returned
+    obs stay at dataset (full) resolution — the env downsamples its own buffers and keeps
+    the originals for display."""
     from .world_model_env import make_ic_preparer
 
     prepare = make_ic_preparer(rew_end_model)
+
+    @jax.jit
+    def to_low(obs_u8):
+        from ..models.denoiser import downsample_avg
+
+        low = downsample_avg(obs_to_float(obs_u8), downsample_factor)
+        return jnp.round((jnp.clip(low, -1, 1) + 1) / 2 * 255).astype(jnp.uint8)
 
     def provider(n: int):
         ids = []
@@ -137,7 +195,8 @@ def make_dataset_ic_provider(dataset, sampler, rew_end_model, r_vars_getter) -> 
         segs = [dataset[sid] for sid in ids[:n]]
         obs = np.stack([s.obs for s in segs])
         act = np.stack([s.act for s in segs]).astype(np.int32)
-        hx, cx = prepare(r_vars_getter(), jnp.asarray(obs), jnp.asarray(act))
+        burn_obs = jnp.asarray(obs) if downsample_factor == 1 else to_low(jnp.asarray(obs))
+        hx, cx = prepare(r_vars_getter(), burn_obs, jnp.asarray(act))
         return obs, act, np.asarray(hx), np.asarray(cx)
 
     return provider

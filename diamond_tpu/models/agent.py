@@ -29,12 +29,15 @@ MODEL_NAMES = ("denoiser", "rew_end_model", "actor_critic")
 
 @dataclass
 class AgentConfig:
-    """reference: src/agent.py:16-25."""
+    """reference: src/agent.py:16-25. ``upsampler`` is the optional second stage of the
+    two-stage world model (csgo-branch capability): an action-free EDM super-resolution
+    denoiser; when present, the dynamics denoiser operates at img_size/upsampling_factor."""
 
     denoiser: DenoiserConfig
     rew_end_model: RewEndModelConfig
     actor_critic: ActorCriticConfig
     num_actions: int
+    upsampler: Optional[DenoiserConfig] = None
 
     def __post_init__(self) -> None:
         self.denoiser.inner_model.num_actions = self.num_actions
@@ -43,11 +46,13 @@ class AgentConfig:
 
     @classmethod
     def from_cfg(cls, agent_cfg: Any, num_actions: int) -> "AgentConfig":
+        upsampler_cfg = agent_cfg.get("upsampler", None)
         return cls(
             denoiser=DenoiserConfig.from_cfg(agent_cfg.denoiser),
             rew_end_model=RewEndModelConfig.from_cfg(agent_cfg.rew_end_model),
             actor_critic=ActorCriticConfig.from_cfg(agent_cfg.actor_critic),
             num_actions=num_actions,
+            upsampler=DenoiserConfig.from_cfg(upsampler_cfg) if upsampler_cfg else None,
         )
 
 
@@ -59,15 +64,26 @@ class Agent:
         self.denoiser = Denoiser(cfg.denoiser, dtype=compute_dtype)
         self.rew_end_model = RewEndModel(cfg.rew_end_model, dtype=compute_dtype)
         self.actor_critic = ActorCritic(cfg.actor_critic, dtype=compute_dtype)
+        self.upsampler = Denoiser(cfg.upsampler, dtype=compute_dtype) \
+            if cfg.upsampler is not None else None
         self.variables: Dict[str, Variables] = {}
 
+    @property
+    def model_names(self) -> tuple:
+        return MODEL_NAMES + (("upsampler",) if self.upsampler is not None else ())
+
     def init(self, rng: jax.Array, img_size: int = 64) -> "Agent":
-        r1, r2, r3 = jax.random.split(rng, 3)
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
+        # two-stage mode: the dynamics denoiser lives at low resolution
+        f = self.cfg.upsampler.upsampling_factor if self.upsampler is not None else 1
+        assert img_size % f == 0, (img_size, f)
         self.variables = {
-            "denoiser": self.denoiser.init(r1, img_size=img_size),
+            "denoiser": self.denoiser.init(r1, img_size=img_size // f),
             "rew_end_model": self.rew_end_model.init(r2),
             "actor_critic": self.actor_critic.init(r3),
         }
+        if self.upsampler is not None:
+            self.variables["upsampler"] = self.upsampler.init(r4, img_size=img_size)
         return self
 
     # -- checkpoint IO ---------------------------------------------------------
@@ -84,13 +100,16 @@ class Agent:
         save_agent_snapshot(self.state_dict(), path)
 
     def load(self, path_to_ckpt: Path, load_denoiser: bool = True,
-             load_rew_end_model: bool = True, load_actor_critic: bool = True) -> None:
+             load_rew_end_model: bool = True, load_actor_critic: bool = True,
+             load_upsampler: bool = True) -> None:
         """reference: src/agent.py:48-62. Accepts stable npz snapshots or legacy pickles."""
         from ..checkpoint import load_agent_snapshot
 
         sd = load_agent_snapshot(Path(path_to_ckpt))
         flags = {"denoiser": load_denoiser, "rew_end_model": load_rew_end_model,
                  "actor_critic": load_actor_critic}
+        if self.upsampler is not None:
+            flags["upsampler"] = load_upsampler
         for name, flag in flags.items():
             if flag:
                 self.variables[name] = jax.tree_util.tree_map(jnp.asarray, sd[name])

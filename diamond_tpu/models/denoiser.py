@@ -48,11 +48,23 @@ class SigmaDistributionConfig:
 
 @dataclass
 class DenoiserConfig:
-    """reference: src/models/diffusion/denoiser.py:34-38."""
+    """reference: src/models/diffusion/denoiser.py:34-38.
+
+    ``upsampling_factor`` switches the model into the two-stage world model's upsampler
+    stage (csgo-branch capability; the branch is not in the reference snapshot — this is
+    an own cascaded-diffusion design): an action-free EDM denoiser at full resolution whose
+    conditioning is the bilinearly-upsampled low-res frame, trained per-frame (see
+    ``Denoiser.loss_upsampler``)."""
 
     inner_model: InnerModelConfig
     sigma_data: float
     sigma_offset_noise: float
+    upsampling_factor: Optional[int] = None
+
+    def __post_init__(self) -> None:
+        if self.upsampling_factor is not None:
+            assert self.upsampling_factor > 1
+            self.inner_model.is_upsampler = True
 
     @classmethod
     def from_cfg(cls, cfg: Any, num_actions: Optional[int] = None) -> "DenoiserConfig":
@@ -60,6 +72,7 @@ class DenoiserConfig:
             inner_model=InnerModelConfig.from_cfg(cfg.inner_model, num_actions),
             sigma_data=cfg.sigma_data,
             sigma_offset_noise=cfg.sigma_offset_noise,
+            upsampling_factor=cfg.get("upsampling_factor", None),
         )
 
 
@@ -68,6 +81,24 @@ def quantize_to_uint8_grid(x: jnp.ndarray) -> jnp.ndarray:
     (reference: src/models/diffusion/denoiser.py:82-84; .byte() truncates -> floor here)."""
     x = jnp.clip(x, -1.0, 1.0)
     return jnp.floor((x + 1) / 2 * 255) / 255 * 2 - 1
+
+
+def downsample_avg(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Exact area downsample by an integer factor over the (H, W) axes of (..., H, W, C)."""
+    if factor == 1:
+        return x
+    *lead, h, w, c = x.shape
+    assert h % factor == 0 and w % factor == 0, (h, w, factor)
+    x = x.reshape(*lead, h // factor, factor, w // factor, factor, c)
+    return x.mean(axis=(-4, -2))
+
+
+def upsample_frame(x: jnp.ndarray, factor: int, method: str = "bilinear") -> jnp.ndarray:
+    """Upsample the (H, W) axes of (..., H, W, C) by an integer factor."""
+    if factor == 1:
+        return x
+    *lead, h, w, c = x.shape
+    return jax.image.resize(x, (*lead, h * factor, w * factor, c), method=method)
 
 
 class Denoiser:
@@ -84,7 +115,8 @@ class Denoiser:
         noisy = jnp.zeros((batch, img_size, img_size, c.img_channels), jnp.float32)
         obs = jnp.zeros((batch, img_size, img_size,
                          c.num_steps_conditioning * c.img_channels), jnp.float32)
-        act = jnp.zeros((batch, c.num_steps_conditioning), jnp.int32)
+        act = None if c.is_upsampler else jnp.zeros((batch, c.num_steps_conditioning),
+                                                    jnp.int32)
         c_noise = jnp.zeros((batch,), jnp.float32)
         return self.inner_model.init(rng, noisy, c_noise, obs, act)
 
@@ -185,4 +217,39 @@ class Denoiser:
             all_obs = all_obs.at[:, n + i].set(denoised)
 
         loss = loss / seq_length
+        return loss, {"loss_denoising": jax.lax.stop_gradient(loss)}
+
+    def loss_upsampler(self, variables: Variables, batch_obs: jnp.ndarray,
+                       batch_mask: jnp.ndarray, rng: jax.Array,
+                       sigma_cfg: SigmaDistributionConfig
+                       ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Per-frame super-resolution training loss (two-stage world model, upsampler stage).
+
+        batch_obs: (B, T, H, W, C) float [-1,1] FULL-RES frames; batch_mask: (B, T) bool.
+        Every frame is an independent denoising problem — conditioning is the frame's own
+        low-res rendition (area downsample by ``upsampling_factor``, snapped to the uint8
+        grid exactly like the low-res dynamics model's sampled outputs, then bilinearly
+        upsampled back) — so time folds into batch: one large MXU-friendly batch per step,
+        no autoregressive unroll."""
+        f = self.cfg.upsampling_factor
+        assert f is not None, "loss_upsampler requires upsampling_factor"
+        b, t, h, w, c = batch_obs.shape
+        x = batch_obs.reshape(b * t, h, w, c)
+        mask = batch_mask.reshape(b * t)
+
+        low = quantize_to_uint8_grid(downsample_avg(x, f))
+        cond = upsample_frame(low, f)
+
+        rng_sigma, rng_noise = jax.random.split(rng)
+        sigma = self.sample_sigma_training(rng_sigma, b * t, sigma_cfg)
+        noisy = self.apply_noise(rng_noise, x, sigma)
+        cs = self.compute_conditioners(sigma)
+        model_output = jax.checkpoint(self.compute_model_output)(
+            variables, noisy, cond, None, cs)
+
+        target = (x - cs.c_skip * noisy) / cs.c_out
+        se = (model_output - target) ** 2
+        m = mask.astype(jnp.float32)
+        denom = jnp.maximum(m.sum() * (h * w * c), 1.0)
+        loss = (se.sum(axis=(1, 2, 3)) * m).sum() / denom
         return loss, {"loss_denoising": jax.lax.stop_gradient(loss)}

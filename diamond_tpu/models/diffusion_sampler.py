@@ -13,7 +13,7 @@ uses static python comparisons on the schedule values (reference diffusion_sampl
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, List, Tuple
+from typing import Any, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -72,11 +72,12 @@ class DiffusionSampler:
                                    cfg.rho)
 
     def sample(self, variables: Variables, rng: jax.Array, prev_obs: jnp.ndarray,
-               prev_act: jnp.ndarray, return_trajectory: bool = False
+               prev_act: Optional[jnp.ndarray], return_trajectory: bool = False
                ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         """Sample the next frame given conditioning frames/actions.
 
-        prev_obs: (B, T, H, W, C) float [-1,1]; prev_act: (B, T) int.
+        prev_obs: (B, T, H, W, C) float [-1,1]; prev_act: (B, T) int, or None for
+        action-free denoisers (the two-stage upsampler stage).
         Returns (x, trajectory). Pure function of (variables, rng); loop unrolled (static
         schedule, default 3 steps). Callers wanting no-grad semantics wrap in stop_gradient.
         """
@@ -113,3 +114,41 @@ class DiffusionSampler:
             if return_trajectory:
                 trajectory.append(x)
         return x, trajectory
+
+
+class TwoStageSampler:
+    """Cascaded sampler for the two-stage world model (csgo-branch capability; the branch
+    is not in the reference snapshot — own design, SR3-style cascade).
+
+    The base sampler draws the next LOW-RES frame from the dynamics denoiser (autoregressive
+    in low-res space); the upsampler stage then super-resolves it with a second EDM sampling
+    loop conditioned on the bilinearly-upsampled low-res frame. The upsampler is memoryless
+    (per-frame): temporal consistency is carried entirely by the low-res dynamics model, so
+    high-res generation stays embarrassingly batchable."""
+
+    def __init__(self, low_sampler: DiffusionSampler, upsampler: Denoiser,
+                 up_cfg: DiffusionSamplerConfig) -> None:
+        assert upsampler.cfg.upsampling_factor is not None
+        self.low_sampler = low_sampler
+        self.up_sampler = DiffusionSampler(upsampler, up_cfg)
+        self.factor = int(upsampler.cfg.upsampling_factor)
+
+    def sample(self, d_vars: Variables, u_vars: Variables, rng: jax.Array,
+               prev_obs_low: jnp.ndarray, prev_act: jnp.ndarray
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """prev_obs_low: (B, T, h, w, C) low-res conditioning frames; prev_act: (B, T).
+        Returns (next_low (B, h, w, C), next_high (B, h*f, w*f, C))."""
+        from .denoiser import upsample_frame
+
+        k_low, k_up = jax.random.split(rng)
+        low, _ = self.low_sampler.sample(d_vars, k_low, prev_obs_low, prev_act)
+        high = self.upsample(u_vars, k_up, low)
+        return low, high
+
+    def upsample(self, u_vars: Variables, rng: jax.Array, low: jnp.ndarray) -> jnp.ndarray:
+        """Super-resolve a batch of low-res frames (B, h, w, C) -> (B, h*f, w*f, C)."""
+        from .denoiser import upsample_frame
+
+        cond = upsample_frame(low, self.factor)
+        high, _ = self.up_sampler.sample(u_vars, rng, cond[:, None], None)
+        return high

@@ -22,7 +22,12 @@ Dtype = Any
 
 @dataclass
 class InnerModelConfig:
-    """reference: src/models/diffusion/inner_model.py:12-20."""
+    """reference: src/models/diffusion/inner_model.py:12-20.
+
+    ``is_upsampler``: action-free variant for the two-stage world model's upsampler stage
+    (cascaded-diffusion conditioning: the network sees only the noise level and the
+    channel-concatenated low-res conditioning frames — dynamics lives in the low-res
+    model, so action conditioning is unnecessary)."""
 
     img_channels: int
     num_steps_conditioning: int
@@ -31,6 +36,7 @@ class InnerModelConfig:
     channels: List[int]
     attn_depths: List[int]
     num_actions: Optional[int] = None
+    is_upsampler: bool = False
 
     @classmethod
     def from_cfg(cls, cfg: Any, num_actions: Optional[int] = None) -> "InnerModelConfig":
@@ -42,6 +48,7 @@ class InnerModelConfig:
             channels=list(cfg.channels),
             attn_depths=list(cfg.attn_depths),
             num_actions=num_actions,
+            is_upsampler=bool(cfg.get("is_upsampler", False)),
         )
 
 
@@ -58,17 +65,19 @@ class InnerModel(nn.Module):
 
     @nn.compact
     def __call__(self, noisy_next_obs: jnp.ndarray, c_noise: jnp.ndarray, obs: jnp.ndarray,
-                 act: jnp.ndarray) -> jnp.ndarray:
+                 act: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         cfg = self.cfg
         t = cfg.num_steps_conditioning
 
         noise_emb = FourierFeatures(cfg.cond_channels, dtype=self.dtype, name="noise_emb")(
             c_noise)
-        act_e = nn.Embed(cfg.num_actions, cfg.cond_channels // t, dtype=self.dtype,
-                         embedding_init=nn.initializers.normal(1.0), name="act_emb")(act)
-        act_e = act_e.reshape(act.shape[0], -1)  # b t e -> b (t e)
-
-        cond = noise_emb + act_e
+        if cfg.is_upsampler:
+            cond = noise_emb  # action-free: the low-res conditioning frames carry dynamics
+        else:
+            act_e = nn.Embed(cfg.num_actions, cfg.cond_channels // t, dtype=self.dtype,
+                             embedding_init=nn.initializers.normal(1.0), name="act_emb")(act)
+            act_e = act_e.reshape(act.shape[0], -1)  # b t e -> b (t e)
+            cond = noise_emb + act_e
         cond = nn.Dense(cfg.cond_channels, dtype=self.dtype,
                         kernel_init=torch_linear_kernel_init,
                         bias_init=fan_in_bias_init(cfg.cond_channels),

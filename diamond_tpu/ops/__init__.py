@@ -1,9 +1,10 @@
 """Pallas TPU kernels for the profiled hot spots (SURVEY.md section 7, item 6).
 
-Status: the kernels are validated in interpreter mode on CPU (tests/test_ops.py). On the
-current tunneled single-chip platform, Mosaic kernel compilation hangs (probed 2026-08-16:
-a trivial pallas_call never returns), so they are OFF by default and the XLA paths are used.
-Enable with DIAMOND_TPU_PALLAS=1 once the platform compiles them.
+Status: validated in interpreter mode on CPU (tests/test_ops.py) AND compiling + running
+on hardware since round 2 (the round-1 Mosaic hang was the kernels' own unsupported ops —
+lane-dim reshapes, in-kernel row slicing — not the platform; see fused_norms.py "Mosaic
+notes"). They remain opt-in (DIAMOND_TPU_PALLAS=1) until they beat the XLA paths they
+replace in the rollout benchmark.
 
 Profiling summary driving these kernels (v5e, batch 32):
   * 3x3 conv at 64x64x64: 0.26 ms = 36.6 TFLOP/s — 73% of the C=64 MXU ceiling

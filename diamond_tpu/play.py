@@ -121,11 +121,17 @@ def main(argv=None) -> None:
                                wm_cfg)
     n_cond = cfg.agent.denoiser.inner_model.num_steps_conditioning
     ic_sampler = BatchSampler(seed_ds, 0, 1, batch_size=8, seq_length=n_cond, seed=0)
+    factor = agent.cfg.upsampler.upsampling_factor if agent.upsampler is not None else 1
     provider = make_dataset_ic_provider(seed_ds, ic_sampler, agent.rew_end_model,
-                                        lambda: agent.variables["rew_end_model"])
+                                        lambda: agent.variables["rew_end_model"],
+                                        downsample_factor=factor)
+    up_kwargs = {}
+    if agent.upsampler is not None:  # two-stage: super-resolve every displayed frame
+        up_kwargs = dict(upsampler=agent.upsampler,
+                         u_vars_getter=lambda: agent.variables["upsampler"])
     wm_env = WorldModelEnv(engine, lambda: agent.variables["denoiser"],
                            lambda: agent.variables["rew_end_model"], provider, num_envs=1,
-                           return_denoising_trajectory=args.record)
+                           return_denoising_trajectory=args.record, **up_kwargs)
 
     envs = [NamedEnv("world_model", wm_env), NamedEnv("test", test_env),
             NamedEnv("train", train_env)]

@@ -59,6 +59,14 @@ class Trainer:
 
         self._is_static_dataset = cfg.static_dataset.path is not None
         self._is_model_free = cfg.training.model_free
+        # wm_only: train the world model only (denoiser + optional upsampler) — the
+        # csgo-branch operating mode (static dataset, no RL agent)
+        self._wm_only = bool(cfg.training.get("wm_only", False))
+        self._has_upsampler = cfg.agent.get("upsampler", None) is not None
+        self._model_names = list(MODEL_NAMES) + (["upsampler"] if self._has_upsampler
+                                                 else [])
+        self._ds_factor = int(cfg.agent.upsampler.upsampling_factor) \
+            if self._has_upsampler else 1
         dtype_name = cfg.get("tpu", {}).get("compute_dtype", "float32")
         self._compute_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
@@ -70,7 +78,7 @@ class Trainer:
             from .parallel import make_mesh
 
             n = len(jax.devices())
-            batch_sizes = [cfg[m].training.batch_size for m in MODEL_NAMES]
+            batch_sizes = [cfg[m].training.batch_size for m in self._model_names]
             if all(b % n == 0 for b in batch_sizes):
                 self._mesh = make_mesh()
                 print(f"data-parallel mesh over {n} devices")
@@ -135,7 +143,7 @@ class Trainer:
         # Optimizers + train steps
         self._opt_specs = {name: OptimizerSpec.from_cfg(cfg[name].optimizer,
                                                         cfg[name].training)
-                           for name in MODEL_NAMES}
+                           for name in self._model_names}
 
         def build_tx(name: str):
             # grad accumulation: mean of micro-batch grads applied every k micro-steps by
@@ -151,7 +159,7 @@ class Trainer:
                 tx = optax.chain(optax.scale(float(k)), tx)  # mean * k == unscaled sum
             return optax.MultiSteps(tx, every_k_schedule=k)
 
-        self._tx = {name: build_tx(name) for name in MODEL_NAMES}
+        self._tx = {name: build_tx(name) for name in self._model_names}
         sigma_cfg = SigmaDistributionConfig(**cfg.denoiser.sigma_distribution)
         self._sigma_cfg = sigma_cfg
         loss_cfg = ActorCriticLossConfig.from_cfg(cfg.actor_critic.actor_critic_loss)
@@ -163,7 +171,16 @@ class Trainer:
         self._wm_env_cfg = wm_env_cfg
 
         self._denoiser_step = make_denoiser_train_step(self.agent.denoiser,
-                                                       self._tx["denoiser"], sigma_cfg)
+                                                       self._tx["denoiser"], sigma_cfg,
+                                                       downsample_factor=self._ds_factor)
+        if self._has_upsampler:
+            from .training import make_upsampler_eval_step, make_upsampler_train_step
+
+            up_sigma_cfg = SigmaDistributionConfig(**cfg.upsampler.sigma_distribution)
+            self._upsampler_step = make_upsampler_train_step(
+                self.agent.upsampler, self._tx["upsampler"], up_sigma_cfg)
+            self._upsampler_eval = make_upsampler_eval_step(self.agent.upsampler,
+                                                            up_sigma_cfg)
         self._rew_end_step = make_rew_end_train_step(self.agent.rew_end_model,
                                                      self._tx["rew_end_model"])
         self._ac_step = make_ac_train_step(self.engine, self.agent.actor_critic,
@@ -179,21 +196,25 @@ class Trainer:
                                         self._ac_variables, epsilon=0.0, seed=seed + 2)
             self._mf_ac_step = make_model_free_ac_train_step(
                 self.agent.actor_critic, self._tx["actor_critic"], loss_cfg)
-        self._denoiser_eval = make_denoiser_eval_step(self.agent.denoiser, sigma_cfg)
+        self._denoiser_eval = make_denoiser_eval_step(self.agent.denoiser, sigma_cfg,
+                                                      downsample_factor=self._ds_factor)
         self._rew_end_eval = make_rew_end_eval_step(self.agent.rew_end_model)
 
         # Train states (replicated over the mesh when data-parallel)
         self.train_states: Dict[str, TrainState] = {
             name: TrainState.create(self.agent.variables[name]["params"], self._tx[name])
-            for name in MODEL_NAMES
+            for name in self._model_names
         }
         self._denoiser_constants = self.agent.variables["denoiser"].get("constants", {})
+        self._upsampler_constants = self.agent.variables["upsampler"].get("constants", {}) \
+            if self._has_upsampler else {}
         if self._mesh is not None:
             from .parallel import replicate
 
             self.train_states = {k: replicate(v, self._mesh)
                                  for k, v in self.train_states.items()}
             self._denoiser_constants = replicate(self._denoiser_constants, self._mesh)
+            self._upsampler_constants = replicate(self._upsampler_constants, self._mesh)
 
         # Data pipelines (reference trainer.py:139-167)
         c = cfg.denoiser.training
@@ -211,15 +232,15 @@ class Trainer:
         self.epoch = 0
         self.num_epochs_collect: Optional[int] = None
         self.num_episodes_test = 0
-        self.num_batch_train = {name: 0 for name in MODEL_NAMES}
-        self.num_batch_test = {name: 0 for name in MODEL_NAMES}
+        self.num_batch_train = {name: 0 for name in self._model_names}
+        self.num_batch_test = {name: 0 for name in self._model_names}
 
         if cfg.common.resume:
             self.load_state_checkpoint()
         else:
             self.save_checkpoint()
 
-        for name in MODEL_NAMES:
+        for name in self._model_names:
             n = count_parameters(self.agent.variables[name]["params"])
             print(f"{n} parameters in {name}")
         print(self.train_dataset)
@@ -239,12 +260,20 @@ class Trainer:
     def _r_variables(self) -> Any:
         return {"params": self.train_states["rew_end_model"].params}
 
+    def _u_variables(self) -> Any:
+        v = {"params": self.train_states["upsampler"].params}
+        if self._upsampler_constants:
+            v["constants"] = self._upsampler_constants
+        return v
+
     def _sync_agent_variables(self) -> None:
         """Reflect the train states' params back into the Agent container (for collectors,
         checkpoints, play interop)."""
         self.agent.variables["denoiser"] = self._d_variables()
         self.agent.variables["rew_end_model"] = self._r_variables()
         self.agent.variables["actor_critic"] = self._ac_variables()
+        if self._has_upsampler:
+            self.agent.variables["upsampler"] = self._u_variables()
 
     def _next_key(self) -> jax.Array:
         self._rng_key, k = jax.random.split(self._rng_key)
@@ -273,6 +302,10 @@ class Trainer:
     def _ensure_imagination(self) -> None:
         cfg = self._cfg
         c = cfg.actor_critic.training
+        if self._has_upsampler:
+            raise ValueError(
+                "imagination RL with a two-stage world model needs a low-res IC pool — "
+                "not supported; set training.wm_only=True (or training.model_free=True)")
         if self._pool_manager is None:
             weights = None if (self._is_static_dataset
                                and cfg.static_dataset.ignore_sample_weights) \
@@ -410,7 +443,12 @@ class Trainer:
 
     def train_agent(self) -> Logs:
         to_log: Logs = []
-        model_names = ["actor_critic"] if self._is_model_free else list(MODEL_NAMES)
+        if self._is_model_free:
+            model_names = ["actor_critic"]
+        elif self._wm_only:
+            model_names = [n for n in self._model_names if n in ("denoiser", "upsampler")]
+        else:
+            model_names = list(self._model_names)
         for name in model_names:
             c = self._cfg[name].training
             if self.epoch > c.start_after_epochs:
@@ -433,6 +471,12 @@ class Trainer:
             for _ in steps_iter:
                 state, metrics = self._denoiser_step(state, self._denoiser_constants,
                                                      next(it), self._next_key())
+                self._finish_step_metrics(name, metrics, to_log, spec, state)
+        elif name == "upsampler":
+            it = iter(self._get_prefetcher(name))
+            for _ in steps_iter:
+                state, metrics = self._upsampler_step(state, self._upsampler_constants,
+                                                      next(it), self._next_key())
                 self._finish_step_metrics(name, metrics, to_log, spec, state)
         elif name == "rew_end_model":
             it = iter(self._get_prefetcher(name))
@@ -523,7 +567,12 @@ class Trainer:
         """Per-component test losses over the held-out episodes (reference
         trainer.py:339-347, 391-406)."""
         to_log: Logs = []
-        for name in ["denoiser", "rew_end_model"]:
+        names = ["denoiser", "rew_end_model"]
+        if self._has_upsampler:
+            names.append("upsampler")
+        if self._wm_only:
+            names = [n for n in names if n != "rew_end_model"]
+        for name in names:
             c = self._cfg[name].training
             if self.epoch <= c.start_after_epochs:
                 continue
@@ -535,6 +584,9 @@ class Trainer:
                 db = DeviceBatch.from_batch(batch)
                 if name == "denoiser":
                     metrics = self._denoiser_eval(self._d_variables(), db, self._next_key())
+                elif name == "upsampler":
+                    metrics = self._upsampler_eval(self._u_variables(), db,
+                                                   self._next_key())
                 else:
                     metrics = self._rew_end_eval(self._r_variables(), db)
                 metrics = dict(metrics)
@@ -568,7 +620,7 @@ class Trainer:
 
     def load_state_dict(self, sd: Dict[str, Any]) -> None:
         self.agent.load_state_dict(sd["agent"])
-        for name in MODEL_NAMES:
+        for name in self._model_names:
             tss = sd["train_states"][name]
             ts = self.train_states[name]
             self.train_states[name] = ts.replace(
@@ -581,12 +633,16 @@ class Trainer:
         if "constants" in sd["agent"]["denoiser"]:
             self._denoiser_constants = jax.tree_util.tree_map(
                 jnp.asarray, sd["agent"]["denoiser"]["constants"])
+        if self._has_upsampler and "constants" in sd["agent"].get("upsampler", {}):
+            self._upsampler_constants = jax.tree_util.tree_map(
+                jnp.asarray, sd["agent"]["upsampler"]["constants"])
         if self._mesh is not None:
             from .parallel import replicate
 
             self.train_states = {k: replicate(v, self._mesh)
                                  for k, v in self.train_states.items()}
             self._denoiser_constants = replicate(self._denoiser_constants, self._mesh)
+            self._upsampler_constants = replicate(self._upsampler_constants, self._mesh)
         self.epoch = sd["epoch"]
         self.num_epochs_collect = sd["num_epochs_collect"]
         self.num_episodes_test = sd["num_episodes_test"]

@@ -26,7 +26,7 @@ from .data.segment import DeviceBatch
 from .envs.world_model_env import ICPool, ImagState, ImaginationEngine
 from .models.actor_critic import ActorCritic, ActorCriticLossConfig
 from .models.agent import configure_opt
-from .models.denoiser import Denoiser, SigmaDistributionConfig
+from .models.denoiser import Denoiser, SigmaDistributionConfig, downsample_avg
 from .models.rew_end_model import RewEndModel
 
 Variables = Any
@@ -85,10 +85,14 @@ def _apply_update(tx: optax.GradientTransformation, state: TrainState, grads: An
 
 def make_denoiser_train_step(denoiser: Denoiser, tx: optax.GradientTransformation,
                              sigma_cfg: SigmaDistributionConfig,
-                             pmean_axis: Optional[str] = None) -> Callable:
+                             pmean_axis: Optional[str] = None,
+                             downsample_factor: int = 1) -> Callable:
+    """``downsample_factor`` > 1 = two-stage world model: the dataset stores full-res
+    frames, the dynamics denoiser trains on their on-device area downsample."""
+
     def loss_fn(params, constants, batch: DeviceBatch, rng):
         variables = {"params": params, "constants": constants}
-        obs = obs_to_float(batch.obs)
+        obs = downsample_avg(obs_to_float(batch.obs), downsample_factor)
         return denoiser.loss(variables, obs, batch.act, batch.mask_padding, rng, sigma_cfg)
 
     def step(state: TrainState, constants: Any, batch: DeviceBatch, rng) -> Tuple[TrainState, Dict]:
@@ -99,6 +103,44 @@ def make_denoiser_train_step(denoiser: Denoiser, tx: optax.GradientTransformatio
         return state, metrics
 
     return step if pmean_axis else jax.jit(step, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# Upsampler (two-stage world model, csgo-branch capability)
+
+
+def make_upsampler_train_step(upsampler: Denoiser, tx: optax.GradientTransformation,
+                              sigma_cfg: SigmaDistributionConfig,
+                              pmean_axis: Optional[str] = None) -> Callable:
+    """Per-frame super-resolution training: batches of full-res segments, time folded
+    into batch inside the loss (models/denoiser.py loss_upsampler)."""
+
+    def loss_fn(params, constants, batch: DeviceBatch, rng):
+        variables = {"params": params, "constants": constants}
+        obs = obs_to_float(batch.obs)
+        return upsampler.loss_upsampler(variables, obs, batch.mask_padding, rng, sigma_cfg)
+
+    def step(state: TrainState, constants: Any, batch: DeviceBatch, rng
+             ) -> Tuple[TrainState, Dict]:
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, constants, batch, rng)
+        state, grad_norm = _apply_update(tx, state, grads, pmean_axis)
+        metrics["grad_norm_before_clip"] = grad_norm
+        return state, metrics
+
+    return step if pmean_axis else jax.jit(step, donate_argnums=(0,))
+
+
+def make_upsampler_eval_step(upsampler: Denoiser,
+                             sigma_cfg: SigmaDistributionConfig) -> Callable:
+    @jax.jit
+    def step(variables, batch: DeviceBatch, rng) -> Dict:
+        obs = obs_to_float(batch.obs)
+        _, metrics = upsampler.loss_upsampler(variables, obs, batch.mask_padding, rng,
+                                              sigma_cfg)
+        return metrics
+
+    return step
 
 
 # ---------------------------------------------------------------------------
@@ -207,11 +249,11 @@ def make_model_free_ac_train_step(actor_critic: ActorCritic,
 # Eval (test) steps — losses only, no update
 
 
-def make_denoiser_eval_step(denoiser: Denoiser,
-                            sigma_cfg: SigmaDistributionConfig) -> Callable:
+def make_denoiser_eval_step(denoiser: Denoiser, sigma_cfg: SigmaDistributionConfig,
+                            downsample_factor: int = 1) -> Callable:
     @jax.jit
     def step(variables, batch: DeviceBatch, rng) -> Dict:
-        obs = obs_to_float(batch.obs)
+        obs = downsample_avg(obs_to_float(batch.obs), downsample_factor)
         _, metrics = denoiser.loss(variables, obs, batch.act, batch.mask_padding, rng,
                                    sigma_cfg)
         return metrics
