@@ -134,9 +134,14 @@ def _group_norm(x: jnp.ndarray, num_groups: int) -> jnp.ndarray:
 
 
 class GroupNorm(nn.Module):
-    """GroupNorm with group size 32 and learned affine (reference src/models/blocks.py:24-31)."""
+    """GroupNorm with group size 32 and learned affine (reference src/models/blocks.py:24-31).
+
+    ``fuse_silu``: apply SiLU inside the norm (the norm->silu->conv chain of the ResBlocks);
+    with DIAMOND_TPU_PALLAS=1 the whole norm(+silu) runs as a single-pass VMEM-resident
+    Pallas kernel (ops/fused_norms.py)."""
 
     dtype: Dtype = jnp.float32
+    fuse_silu: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -144,15 +149,26 @@ class GroupNorm(nn.Module):
         num_groups = max(1, c // GN_GROUP_SIZE)
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        from ..ops import USE_PALLAS
+
+        if USE_PALLAS and x.ndim == 4:
+            from ..ops.fused_norms import groupnorm_silu
+
+            interpret = jax.default_backend() != "tpu"
+            return groupnorm_silu(x, scale, bias, num_groups, self.fuse_silu,
+                                  interpret).astype(self.dtype)
         y = _group_norm(x, num_groups)
-        return (y * scale.astype(y.dtype) + bias.astype(y.dtype)).astype(self.dtype)
+        y = (y * scale.astype(y.dtype) + bias.astype(y.dtype)).astype(self.dtype)
+        return nn.silu(y) if self.fuse_silu else y
 
 
 class AdaGroupNorm(nn.Module):
     """FiLM-conditioned group norm: affine-free GN then x*(1+scale)+shift from a linear on the
-    conditioning vector (reference src/models/blocks.py:34-45)."""
+    conditioning vector (reference src/models/blocks.py:34-45). ``fuse_silu`` as GroupNorm."""
 
     dtype: Dtype = jnp.float32
+    fuse_silu: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
@@ -160,9 +176,18 @@ class AdaGroupNorm(nn.Module):
         num_groups = max(1, c // GN_GROUP_SIZE)
         ss = nn.Dense(2 * c, dtype=self.dtype, kernel_init=torch_linear_kernel_init,
                       bias_init=fan_in_bias_init(cond.shape[-1]), name="linear")(cond)
+
+        from ..ops import USE_PALLAS
+
+        if USE_PALLAS and self.fuse_silu and x.ndim == 4:
+            from ..ops.fused_norms import adagn_silu
+
+            interpret = jax.default_backend() != "tpu"
+            return adagn_silu(x, ss, num_groups, interpret).astype(self.dtype)
         scale, shift = jnp.split(ss[:, None, None, :], 2, axis=-1)
         y = _group_norm(x, num_groups).astype(self.dtype)
-        return y * (1 + scale) + shift
+        y = y * (1 + scale) + shift
+        return nn.silu(y) if self.fuse_silu else y
 
 
 # ---------------------------------------------------------------------------
@@ -258,8 +283,8 @@ class SmallResBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_channels = x.shape[-1]
-        y = GroupNorm(dtype=self.dtype, name="norm")(x)
-        y = Conv3x3(self.out_channels, self.dtype, name="conv")(nn.silu(y))
+        y = GroupNorm(dtype=self.dtype, fuse_silu=True, name="norm")(x)
+        y = Conv3x3(self.out_channels, self.dtype, name="conv")(y)
         skip = x if in_channels == self.out_channels else Conv1x1(
             self.out_channels, self.dtype, name="skip_projection")(x)
         return skip + y
@@ -278,11 +303,11 @@ class ResBlock(nn.Module):
         in_channels = x.shape[-1]
         r = x if in_channels == self.out_channels else Conv1x1(
             self.out_channels, self.dtype, name="proj")(x)
-        y = AdaGroupNorm(dtype=self.dtype, name="norm1")(x, cond)
-        y = Conv3x3(self.out_channels, self.dtype, name="conv1")(nn.silu(y))
-        y = AdaGroupNorm(dtype=self.dtype, name="norm2")(y, cond)
+        y = AdaGroupNorm(dtype=self.dtype, fuse_silu=True, name="norm1")(x, cond)
+        y = Conv3x3(self.out_channels, self.dtype, name="conv1")(y)
+        y = AdaGroupNorm(dtype=self.dtype, fuse_silu=True, name="norm2")(y, cond)
         y = Conv3x3(self.out_channels, self.dtype, kernel_init=nn.initializers.zeros,
-                    name="conv2")(nn.silu(y))
+                    name="conv2")(y)
         y = y + r
         if self.attn:
             y = SelfAttention2d(dtype=self.dtype, name="attn")(y)

@@ -91,7 +91,7 @@ class InnerModel(nn.Module):
         x = Conv3x3(cfg.channels[0], self.dtype, name="conv_in")(x)
         x = UNet(cfg.depths, cfg.channels, cfg.attn_depths, dtype=self.dtype, name="unet")(
             x, cond)
-        x = GroupNorm(dtype=self.dtype, name="norm_out")(x)
+        x = GroupNorm(dtype=self.dtype, fuse_silu=True, name="norm_out")(x)
         x = Conv3x3(cfg.img_channels, self.dtype, kernel_init=nn.initializers.zeros,
-                    name="conv_out")(nn.silu(x))
+                    name="conv_out")(x)
         return x.astype(jnp.float32)

@@ -119,3 +119,75 @@ def fused_adagn_silu(x: jnp.ndarray, scale_shift: jnp.ndarray, num_groups: int,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
     )(x, scale, shift)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrappers
+#
+# pallas_call has no autodiff rule, but the norms sit inside training losses. Forward
+# runs the kernel; backward is the VJP of the numerically-equivalent XLA formulation
+# evaluated at the saved inputs (training-step throughput is not the north-star metric;
+# the fused forward is what the inference-only rollout sees).
+
+
+def _gn_silu_ref(x, scale, bias, num_groups: int, silu: bool):
+    b, h, w, c = x.shape
+    xg = x.astype(jnp.float32).reshape(b, h, w, num_groups, c // num_groups)
+    mean = xg.mean(axis=(1, 2, 4), keepdims=True)
+    var = (xg * xg).mean(axis=(1, 2, 4), keepdims=True) - mean * mean
+    y = ((xg - mean) * jax.lax.rsqrt(var + GN_EPS)).reshape(b, h, w, c)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def groupnorm_silu(x, scale, bias, num_groups: int, silu: bool, interpret: bool):
+    """Differentiable fused_groupnorm_silu."""
+    return fused_groupnorm_silu(x, scale, bias, num_groups, silu=silu, interpret=interpret)
+
+
+def _gns_fwd(x, scale, bias, num_groups, silu, interpret):
+    return groupnorm_silu(x, scale, bias, num_groups, silu, interpret), (x, scale, bias)
+
+
+def _gns_bwd(num_groups, silu, interpret, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(lambda x_, s_, b_: _gn_silu_ref(x_, s_, b_, num_groups, silu),
+                     x, scale, bias)
+    return vjp(g)
+
+
+groupnorm_silu.defvjp(_gns_fwd, _gns_bwd)
+
+
+def _adagn_silu_ref(x, scale_shift, num_groups: int):
+    b, h, w, c = x.shape
+    xg = x.astype(jnp.float32).reshape(b, h, w, num_groups, c // num_groups)
+    mean = xg.mean(axis=(1, 2, 4), keepdims=True)
+    var = (xg * xg).mean(axis=(1, 2, 4), keepdims=True) - mean * mean
+    y = ((xg - mean) * jax.lax.rsqrt(var + GN_EPS)).reshape(b, h, w, c)
+    scale = scale_shift[:, None, None, :c].astype(jnp.float32)
+    shift = scale_shift[:, None, None, c:].astype(jnp.float32)
+    y = y * (1.0 + scale) + shift
+    return (y * jax.nn.sigmoid(y)).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def adagn_silu(x, scale_shift, num_groups: int, interpret: bool):
+    """Differentiable fused_adagn_silu."""
+    return fused_adagn_silu(x, scale_shift, num_groups, interpret=interpret)
+
+
+def _ags_fwd(x, scale_shift, num_groups, interpret):
+    return adagn_silu(x, scale_shift, num_groups, interpret), (x, scale_shift)
+
+
+def _ags_bwd(num_groups, interpret, res, g):
+    x, scale_shift = res
+    _, vjp = jax.vjp(lambda x_, ss_: _adagn_silu_ref(x_, ss_, num_groups), x, scale_shift)
+    return vjp(g)
+
+
+adagn_silu.defvjp(_ags_fwd, _ags_bwd)

@@ -49,7 +49,77 @@ def test_conv3x3_im2col_matches_xla_conv():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
     k = jnp.asarray(rng.normal(size=(3, 3, C, 2 * C)).astype(np.float32) * 0.2)
-    y = conv3x3_im2col(x, k, block_h=4, interpret=True)
+    y = conv3x3_im2col(x, k, interpret=True)
     ref = jax.lax.conv_general_dilated(x, k, (1, 1), "SAME",
                                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_groupnorm_silu_grad_matches_xla():
+    """The differentiable wrappers backprop through the XLA formulation (custom_vjp)."""
+    from diamond_tpu.ops.fused_norms import _gn_silu_ref, groupnorm_silu
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+
+    g1 = jax.grad(lambda x_, s_, b_: groupnorm_silu(x_, s_, b_, GROUPS, True, True).sum(),
+                  argnums=(0, 1, 2))(x, scale, bias)
+    g2 = jax.grad(lambda x_, s_, b_: _gn_silu_ref(x_, s_, b_, GROUPS, True).sum(),
+                  argnums=(0, 1, 2))(x, scale, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+def test_adagn_silu_grad_matches_xla():
+    from diamond_tpu.ops.fused_norms import _adagn_silu_ref, adagn_silu
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    ss = jnp.asarray(rng.normal(size=(B, 2 * C)).astype(np.float32))
+    g1 = jax.grad(lambda x_, s_: adagn_silu(x_, s_, GROUPS, True).sum(),
+                  argnums=(0, 1))(x, ss)
+    g2 = jax.grad(lambda x_, s_: _adagn_silu_ref(x_, s_, GROUPS).sum(),
+                  argnums=(0, 1))(x, ss)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_model_path_equivalence():
+    """DIAMOND_TPU_PALLAS=1 routes the ResBlock norms through the kernels (interpret mode
+    off-TPU) with identical params and matching outputs. Subprocess: the flag is read at
+    import."""
+    import subprocess
+    import sys
+
+    code = """
+import os, sys
+os.environ["DIAMOND_TPU_PALLAS"] = sys.argv[1]
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+import jax
+jax.config.update("jax_platform_name", "cpu")
+import jax.numpy as jnp, numpy as np
+from diamond_tpu.models import Denoiser, DenoiserConfig, InnerModelConfig
+d = Denoiser(DenoiserConfig(
+    inner_model=InnerModelConfig(img_channels=3, num_steps_conditioning=2,
+                                 cond_channels=16, depths=[1], channels=[64],
+                                 attn_depths=[0], num_actions=3),
+    sigma_data=0.5, sigma_offset_noise=0.3))
+v = d.init(jax.random.PRNGKey(0), img_size=8)
+rng = np.random.default_rng(0)
+noisy = jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype(np.float32))
+obs = jnp.asarray(rng.uniform(-1, 1, (2, 8, 8, 6)).astype(np.float32))
+act = jnp.asarray(rng.integers(0, 3, (2, 2)).astype(np.int32))
+y = d.denoise(v, noisy, 1.3, obs, act)
+np.save(f"/tmp/pallas_equiv_{sys.argv[1]}.npy", np.asarray(y))
+print("OK")
+"""
+    for flag in ("0", "1"):
+        r = subprocess.run([sys.executable, "-c", code, flag], capture_output=True,
+                           text=True, cwd="/root/repo", timeout=600)
+        assert r.returncode == 0, r.stderr[-3000:]
+    a = np.load("/tmp/pallas_equiv_0.npy")
+    b = np.load("/tmp/pallas_equiv_1.npy")
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
