@@ -310,13 +310,14 @@ class PoolManager:
     synchronous wait (0 when the background build won the race)."""
 
     def __init__(self, engine: ImaginationEngine, dataset, sampler, pool_size: int,
-                 chunk: int = 1024, background: bool = True) -> None:
+                 chunk: int = 1024, background: bool = True, store=None) -> None:
         self.engine = engine
         self.dataset = dataset
         self.sampler = sampler  # BatchSampler with batch_size == chunk, seq_length == n_cond
         self.pool_size = pool_size
         self.chunk = chunk
         self.background = background
+        self.store = store  # DeviceEpisodeStore: device-side gather instead of host staging
         self.last_refill_wait_s = 0.0
         self._prepare = make_ic_preparer(engine.rew_end_model)
         self._pending: Optional[threading.Thread] = None
@@ -329,18 +330,21 @@ class PoolManager:
         while remaining > 0:
             n = min(self.chunk, remaining)
             ids = self.sampler.sample()[:n]
-            segs = [self.dataset[sid] for sid in ids]
-            obs = np.stack([s.obs for s in segs])
-            act = np.stack([s.act for s in segs]).astype(np.int32)
-            hx, cx = self._prepare(r_vars, jnp.asarray(obs), jnp.asarray(act))
+            if self.store is not None:
+                obs, act = self.store.gather_ic(ids)  # device gather, no H2D staging
+            else:
+                segs = [self.dataset[sid] for sid in ids]
+                obs = jnp.asarray(np.stack([s.obs for s in segs]))
+                act = jnp.asarray(np.stack([s.act for s in segs]).astype(np.int32))
+            hx, cx = self._prepare(r_vars, obs, act)
             obs_list.append(obs)
             act_list.append(act)
             hx_list.append(hx)
             cx_list.append(cx)
             remaining -= n
         return ICPool(
-            obs=jnp.asarray(np.concatenate(obs_list)),
-            act=jnp.asarray(np.concatenate(act_list)),
+            obs=jnp.concatenate(obs_list),
+            act=jnp.concatenate(act_list),
             hx=jnp.concatenate(hx_list),
             cx=jnp.concatenate(cx_list),
             ptr=jnp.asarray(0, jnp.int32),

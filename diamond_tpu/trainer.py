@@ -221,7 +221,27 @@ class Trainer:
         self._seq_len_denoiser = (cfg.agent.denoiser.inner_model.num_steps_conditioning
                                   + 1 + c.num_autoregressive_steps)
         self._samplers = {}
-        self._prefetchers: Dict[str, BatchPrefetcher] = {}
+        self._prefetchers: Dict[str, Any] = {}
+
+        # Device-resident episode store: train batches + IC pools assembled by on-device
+        # gathers — frames cross the host boundary once per episode (data/device_store.py;
+        # on the tunneled platform this is also required: the client leaks host staging
+        # per H2D transfer, which OOM-killed a full-schedule run).
+        self._device_store = None
+        if bool(cfg.get("tpu", {}).get("device_dataset", False)) and self._mesh is None \
+                and not self._is_model_free:
+            from .data.device_store import DeviceEpisodeStore
+
+            cap = cfg.tpu.get("device_dataset_capacity")
+            if cap is None:
+                budget = int(cfg.collection.train.num_steps_total)
+                if self._is_static_dataset:
+                    budget = max(budget, self.train_dataset.num_steps)
+                cap = int(1.25 * budget) + 2048
+            size = cfg.env.train.size
+            self._device_store = DeviceEpisodeStore(int(cap), (size, size, 3))
+            if self.train_dataset.num_episodes:
+                self._device_store.sync(self.train_dataset)
 
         # Imagination state (lazy: needs a non-empty dataset)
         self._imag_state = None
@@ -279,7 +299,7 @@ class Trainer:
         self._rng_key, k = jax.random.split(self._rng_key)
         return k
 
-    def _get_prefetcher(self, name: str) -> BatchPrefetcher:
+    def _get_prefetcher(self, name: str) -> Any:
         if name not in self._prefetchers:
             cfg = self._cfg
             c = cfg[name].training
@@ -290,13 +310,18 @@ class Trainer:
             sampler = BatchSampler(self.train_dataset, 0, 1, c.batch_size, seq_length,
                                    weights, can_sample_beyond_end=(name == "rew_end_model"),
                                    seed=int(self._np_rng.integers(0, 2 ** 31 - 1)))
-            sharding = None
-            if self._mesh is not None:
-                from .parallel import batch_sharding
+            if self._device_store is not None:
+                from .data.device_store import StoreBatchIterator
 
-                sharding = batch_sharding(self._mesh)
-            self._prefetchers[name] = BatchPrefetcher(self.train_dataset, sampler,
-                                                      sharding=sharding).start()
+                self._prefetchers[name] = StoreBatchIterator(self._device_store, sampler)
+            else:
+                sharding = None
+                if self._mesh is not None:
+                    from .parallel import batch_sharding
+
+                    sharding = batch_sharding(self._mesh)
+                self._prefetchers[name] = BatchPrefetcher(self.train_dataset, sampler,
+                                                          sharding=sharding).start()
         return self._prefetchers[name]
 
     def _ensure_imagination(self) -> None:
@@ -316,7 +341,8 @@ class Trainer:
                                    seed=int(self._np_rng.integers(0, 2 ** 31 - 1)))
             pool_size = self._wm_env_cfg.num_batches_to_preload * c.batch_size
             self._pool_manager = PoolManager(self.engine, self.train_dataset, sampler,
-                                             pool_size, chunk=chunk)
+                                             pool_size, chunk=chunk,
+                                             store=self._device_store)
         max_consumption = self._loss_cfg.backup_every * c.batch_size + c.batch_size
         self._pool, swapped = self._pool_manager.ensure(self._pool, self._r_variables(),
                                                         max_consumption)
@@ -443,6 +469,8 @@ class Trainer:
 
     def train_agent(self) -> Logs:
         to_log: Logs = []
+        if self._device_store is not None:  # mirror episodes collected since last epoch
+            self._device_store.sync(self.train_dataset)
         if self._is_model_free:
             model_names = ["actor_critic"]
         elif self._wm_only:

@@ -1,0 +1,126 @@
+"""DeviceEpisodeStore (data/device_store.py): on-device batch assembly is batch-for-batch
+identical to the host make_segment + collate path, including padding, beyond-end windows,
+final_observation densification, and episode extension/relocation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diamond_tpu.data import Dataset, DeviceBatch, Episode, SegmentId
+from diamond_tpu.data.device_store import DeviceEpisodeStore, StoreBatchIterator
+from diamond_tpu.data.prefetch import sample_batch
+from diamond_tpu.data.segment import collate_segments_to_batch, make_segment
+
+H = W = 8
+
+
+def make_ep(rng, t, with_final=True, alive=False):
+    info = {}
+    if with_final:
+        info["final_observation"] = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+    end = np.zeros(t, np.uint8)
+    if not alive:
+        end[-1] = 1
+    return Episode(
+        obs=rng.integers(0, 255, (t, H, W, 3), dtype=np.uint8),
+        act=rng.integers(0, 4, t).astype(np.int32),
+        rew=rng.choice([-1.0, 0.0, 1.0], t).astype(np.float32),
+        end=end, trunc=np.zeros(t, np.uint8), info=info)
+
+
+def host_batch(dataset, ids):
+    return DeviceBatch.from_batch(
+        collate_segments_to_batch([dataset[sid] for sid in ids]))
+
+
+def assert_batches_equal(a: DeviceBatch, b: DeviceBatch):
+    for name in ("obs", "act", "rew", "end", "trunc", "mask_padding", "final_obs",
+                 "has_final_obs"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, name)),
+                                      np.asarray(getattr(b, name)), err_msg=name)
+
+
+def test_store_matches_host_collate(tmp_path):
+    rng = np.random.default_rng(0)
+    ds = Dataset(tmp_path / "ds", "ds")
+    for t in (20, 13, 31):
+        ds.add_episode(make_ep(rng, t, with_final=(t != 13)))
+
+    store = DeviceEpisodeStore(512, (H, W, 3))
+    store.sync(ds)
+
+    ids = [
+        SegmentId(0, 3, 11),     # interior
+        SegmentId(1, -5, 3),     # left-padded
+        SegmentId(2, 28, 36),    # beyond end (rew_end windows)
+        SegmentId(1, 5, 13),     # touches episode end exactly
+    ]
+    assert_batches_equal(store.make_batch(ids), host_batch(ds, ids))
+
+
+def test_store_extension_and_relocation(tmp_path):
+    rng = np.random.default_rng(1)
+    ds = Dataset(tmp_path / "ds", "ds")
+    e0 = make_ep(rng, 10, with_final=False, alive=True)
+    ds.add_episode(e0)
+    store = DeviceEpisodeStore(512, (H, W, 3))
+    store.sync(ds)
+
+    # tail episode grows in place (collector continuation: full longer version swapped in)
+    e0 = e0 + make_ep(rng, 6, with_final=True, alive=True)
+    ds.add_episode(e0, episode_id=0)
+    store.sync(ds)
+    ids = [SegmentId(0, 8, 16)]
+    assert_batches_equal(store.make_batch(ids), host_batch(ds, ids))
+
+    # add another episode, then grow episode 0 again -> relocation path
+    ds.add_episode(make_ep(rng, 12))
+    store.sync(ds)
+    e0 = e0 + make_ep(rng, 4, with_final=True)
+    ds.add_episode(e0, episode_id=0)
+    store.sync(ds)
+    ids = [SegmentId(0, 12, 20), SegmentId(1, 0, 8)]
+    assert_batches_equal(store.make_batch(ids), host_batch(ds, ids))
+
+
+def test_store_iterator_matches_prefetch_sampling(tmp_path):
+    from diamond_tpu.data import BatchSampler
+
+    rng = np.random.default_rng(2)
+    ds = Dataset(tmp_path / "ds", "ds")
+    for t in (25, 40, 17, 30):
+        ds.add_episode(make_ep(rng, t))
+    store = DeviceEpisodeStore(512, (H, W, 3))
+    store.sync(ds)
+
+    s1 = BatchSampler(ds, 0, 1, 4, 6, [0.1, 0.1, 0.1, 0.7], seed=7)
+    s2 = BatchSampler(ds, 0, 1, 4, 6, [0.1, 0.1, 0.1, 0.7], seed=7)
+    it = iter(StoreBatchIterator(store, s1))
+    for _ in range(3):
+        dev = next(it)
+        host = host_batch(ds, s2.sample())
+        assert_batches_equal(dev, host)
+
+
+def test_store_ic_gather(tmp_path):
+    rng = np.random.default_rng(3)
+    ds = Dataset(tmp_path / "ds", "ds")
+    for t in (25, 30):
+        ds.add_episode(make_ep(rng, t))
+    store = DeviceEpisodeStore(128, (H, W, 3))
+    store.sync(ds)
+    ids = [SegmentId(0, 2, 6), SegmentId(1, 10, 14)]
+    obs, act = store.gather_ic(ids)
+    assert obs.shape == (2, 4, H, W, 3) and obs.dtype == jnp.uint8
+    ep = ds.load_episode(0)
+    np.testing.assert_array_equal(np.asarray(obs[0]), np.asarray(ep.obs[2:6]))
+
+
+def test_store_overflow_raises(tmp_path):
+    rng = np.random.default_rng(4)
+    ds = Dataset(tmp_path / "ds", "ds")
+    ds.add_episode(make_ep(rng, 40))
+    store = DeviceEpisodeStore(32, (H, W, 3))
+    with pytest.raises(AssertionError, match="overflow"):
+        store.sync(ds)
