@@ -148,12 +148,20 @@ class Denoiser:
         return Conditioners(expand(c_in), expand(c_out), expand(c_skip), c_noise)
 
     def compute_model_output(self, variables: Variables, noisy_next_obs: jnp.ndarray,
-                             obs: jnp.ndarray, act: jnp.ndarray,
-                             cs: Conditioners) -> jnp.ndarray:
+                             obs: jnp.ndarray, act: jnp.ndarray, cs: Conditioners,
+                             obs_features: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """reference denoiser.py:74-78. obs is (B,H,W,T*C) frame-major."""
         rescaled_obs = obs / self.cfg.sigma_data
         rescaled_noise = noisy_next_obs * cs.c_in
-        return self.inner_model.apply(variables, rescaled_noise, cs.c_noise, rescaled_obs, act)
+        return self.inner_model.apply(variables, rescaled_noise, cs.c_noise, rescaled_obs,
+                                      act, obs_features)
+
+    def compute_obs_features(self, variables: Variables, obs: jnp.ndarray) -> jnp.ndarray:
+        """Precompute conv_in's conditioning contribution once per frame: the conditioning
+        channels are constant across a sampler's sigma steps (the obs rescale 1/sigma_data
+        is sigma-independent), so samplers share this across their denoise calls."""
+        return self.inner_model.apply(variables, obs / self.cfg.sigma_data,
+                                      method="compute_obs_features")
 
     def wrap_model_output(self, noisy_next_obs: jnp.ndarray, model_output: jnp.ndarray,
                           cs: Conditioners) -> jnp.ndarray:
@@ -163,11 +171,13 @@ class Denoiser:
         return quantize_to_uint8_grid(d)
 
     def denoise(self, variables: Variables, noisy_next_obs: jnp.ndarray, sigma: jnp.ndarray,
-                obs: jnp.ndarray, act: jnp.ndarray) -> jnp.ndarray:
+                obs: jnp.ndarray, act: jnp.ndarray,
+                obs_features: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Single denoising evaluation (reference denoiser.py:86-91)."""
         sigma = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (noisy_next_obs.shape[0],))
         cs = self.compute_conditioners(sigma)
-        model_output = self.compute_model_output(variables, noisy_next_obs, obs, act, cs)
+        model_output = self.compute_model_output(variables, noisy_next_obs, obs, act, cs,
+                                                 obs_features)
         return self.wrap_model_output(noisy_next_obs, model_output, cs)
 
     # -- training ------------------------------------------------------------

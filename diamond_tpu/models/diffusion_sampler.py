@@ -84,6 +84,9 @@ class DiffusionSampler:
         cfg = self.cfg
         b, t, h, w, c = prev_obs.shape
         prev_obs = jnp.moveaxis(prev_obs, 1, 3).reshape(b, h, w, t * c)
+        # conv_in's conditioning contribution is sigma-independent: compute once, share
+        # across every denoise of the loop (saves ~12/15 of conv_in per extra sigma step)
+        obs_features = self.denoiser.compute_obs_features(variables, prev_obs)
 
         rng, rng_init = jax.random.split(rng)
         gamma_ = min(cfg.s_churn / (len(self.sigmas) - 1), 2 ** 0.5 - 1)
@@ -100,7 +103,8 @@ class DiffusionSampler:
                 x = x + eps * (sigma_hat ** 2 - sigma ** 2) ** 0.5
             # NB the reference denoises with sigma, not sigma_hat, even with churn
             # (reference diffusion_sampler.py:44).
-            denoised = self.denoiser.denoise(variables, x, sigma, prev_obs, prev_act)
+            denoised = self.denoiser.denoise(variables, x, sigma, prev_obs, prev_act,
+                                             obs_features)
             d = (x - denoised) / sigma_hat
             dt = next_sigma - sigma_hat
             if cfg.order == 1 or next_sigma == 0:
@@ -108,7 +112,7 @@ class DiffusionSampler:
             else:
                 x_2 = x + d * dt  # Heun
                 denoised_2 = self.denoiser.denoise(variables, x_2, next_sigma, prev_obs,
-                                                   prev_act)
+                                                   prev_act, obs_features)
                 d_2 = (x_2 - denoised_2) / next_sigma
                 x = x + (d + d_2) / 2 * dt
             if return_trajectory:

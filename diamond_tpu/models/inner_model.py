@@ -11,6 +11,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, List, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -58,40 +59,71 @@ class InnerModel(nn.Module):
     Inputs:
       noisy_next_obs (B, H, W, C), c_noise (B,), obs (B, H, W, T*C) frame-major, act (B, T).
     Output: (B, H, W, C) F-space prediction.
+
+    ``obs_features``: optional precomputed conv_in contribution of the conditioning
+    channels (``apply(..., method="compute_obs_features")``). The conditioning frames are
+    constant across a sampler's sigma steps while only the noisy frame changes, so the
+    sampler computes their conv_in part once per frame (conv is linear in its input
+    channels: conv(concat(a, b), K) = conv(a, K[..a..]) + conv(b, K[..b..]) + bias).
+    When None the original fused concat conv runs (bit-identical default path).
     """
 
     cfg: InnerModelConfig
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, noisy_next_obs: jnp.ndarray, c_noise: jnp.ndarray, obs: jnp.ndarray,
-                 act: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def setup(self) -> None:
         cfg = self.cfg
         t = cfg.num_steps_conditioning
+        self.noise_emb = FourierFeatures(cfg.cond_channels, dtype=self.dtype)
+        if not cfg.is_upsampler:
+            self.act_emb = nn.Embed(cfg.num_actions, cfg.cond_channels // t,
+                                    dtype=self.dtype,
+                                    embedding_init=nn.initializers.normal(1.0))
+        self.cond_proj_0 = nn.Dense(cfg.cond_channels, dtype=self.dtype,
+                                    kernel_init=torch_linear_kernel_init,
+                                    bias_init=fan_in_bias_init(cfg.cond_channels))
+        self.cond_proj_2 = nn.Dense(cfg.cond_channels, dtype=self.dtype,
+                                    kernel_init=torch_linear_kernel_init,
+                                    bias_init=fan_in_bias_init(cfg.cond_channels))
+        self.conv_in = Conv3x3(cfg.channels[0], self.dtype)
+        self.unet = UNet(cfg.depths, cfg.channels, cfg.attn_depths, dtype=self.dtype)
+        self.norm_out = GroupNorm(dtype=self.dtype, fuse_silu=True)
+        self.conv_out = Conv3x3(cfg.img_channels, self.dtype,
+                                kernel_init=nn.initializers.zeros)
 
-        noise_emb = FourierFeatures(cfg.cond_channels, dtype=self.dtype, name="noise_emb")(
-            c_noise)
+    def compute_obs_features(self, obs: jnp.ndarray) -> jnp.ndarray:
+        """conv_in contribution of the conditioning channels (no bias)."""
+        k = self.conv_in.variables["params"]["kernel"].astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            obs.astype(self.dtype), k[:, :, :obs.shape[-1], :], (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def __call__(self, noisy_next_obs: jnp.ndarray, c_noise: jnp.ndarray, obs: jnp.ndarray,
+                 act: Optional[jnp.ndarray] = None,
+                 obs_features: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        cfg = self.cfg
+
+        noise_e = self.noise_emb(c_noise)
         if cfg.is_upsampler:
-            cond = noise_emb  # action-free: the low-res conditioning frames carry dynamics
+            cond = noise_e  # action-free: the low-res conditioning frames carry dynamics
         else:
-            act_e = nn.Embed(cfg.num_actions, cfg.cond_channels // t, dtype=self.dtype,
-                             embedding_init=nn.initializers.normal(1.0), name="act_emb")(act)
+            act_e = self.act_emb(act)
             act_e = act_e.reshape(act.shape[0], -1)  # b t e -> b (t e)
-            cond = noise_emb + act_e
-        cond = nn.Dense(cfg.cond_channels, dtype=self.dtype,
-                        kernel_init=torch_linear_kernel_init,
-                        bias_init=fan_in_bias_init(cfg.cond_channels),
-                        name="cond_proj_0")(cond)
-        cond = nn.Dense(cfg.cond_channels, dtype=self.dtype,
-                        kernel_init=torch_linear_kernel_init,
-                        bias_init=fan_in_bias_init(cfg.cond_channels),
-                        name="cond_proj_2")(nn.silu(cond))
+            cond = noise_e + act_e
+        cond = self.cond_proj_2(nn.silu(self.cond_proj_0(cond)))
 
-        x = jnp.concatenate([obs, noisy_next_obs], axis=-1).astype(self.dtype)
-        x = Conv3x3(cfg.channels[0], self.dtype, name="conv_in")(x)
-        x = UNet(cfg.depths, cfg.channels, cfg.attn_depths, dtype=self.dtype, name="unet")(
-            x, cond)
-        x = GroupNorm(dtype=self.dtype, fuse_silu=True, name="norm_out")(x)
-        x = Conv3x3(cfg.img_channels, self.dtype, kernel_init=nn.initializers.zeros,
-                    name="conv_out")(x)
+        if obs_features is None:
+            x = jnp.concatenate([obs, noisy_next_obs], axis=-1).astype(self.dtype)
+            x = self.conv_in(x)
+        else:
+            p = self.conv_in.variables["params"]
+            k = p["kernel"].astype(self.dtype)
+            split = k.shape[2] - noisy_next_obs.shape[-1]
+            x = jax.lax.conv_general_dilated(
+                noisy_next_obs.astype(self.dtype), k[:, :, split:, :], (1, 1),
+                ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            x = x + obs_features.astype(self.dtype) + p["bias"].astype(self.dtype)
+        x = self.unet(x, cond)
+        x = self.norm_out(x)
+        x = self.conv_out(x)
         return x.astype(jnp.float32)
