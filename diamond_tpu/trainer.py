@@ -407,6 +407,19 @@ class Trainer:
             to_log = []
             self.save_checkpoint()
 
+            # Elastic restart guard: the tunneled platform leaks host memory per H2D
+            # transfer (see data/device_store.py); if a residual path still grows RSS past
+            # the limit, exit checkpointed-and-restartable instead of getting OOM-killed
+            # mid-epoch. scripts/resume.sh loops on this exit code.
+            from .utils import RESTART_EXIT_CODE, host_rss_gb
+
+            limit = cfg.get("tpu", {}).get("max_host_rss_gb")
+            if limit is not None and host_rss_gb() > float(limit):
+                print(f"host RSS {host_rss_gb():.1f} GB > tpu.max_host_rss_gb={limit}; "
+                      f"checkpoint saved — exiting {RESTART_EXIT_CODE} for restart "
+                      "(scripts/resume.sh resumes automatically)")
+                raise SystemExit(RESTART_EXIT_CODE)
+
         if not self._is_static_dataset:
             self.logger.log(self.collect_test(final=True), self.epoch)
 

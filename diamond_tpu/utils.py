@@ -207,6 +207,21 @@ def count_parameters(params: Any) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
 
 
+RESTART_EXIT_CODE = 75  # EX_TEMPFAIL: checkpointed-and-restartable (scripts/resume.sh loops)
+
+
+def host_rss_gb() -> float:
+    """Resident set size of this process in GB (0.0 if /proc is unavailable)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1024 ** 2
+    except OSError:
+        pass
+    return 0.0
+
+
 # ---------------------------------------------------------------------------
 # Misc
 

@@ -195,3 +195,34 @@ def test_e2e_train_and_resume(tmp_path, monkeypatch):
     cfg2.training.num_final_epochs = 1
     trainer2._cfg = cfg2
     trainer2.run()
+
+
+@pytest.mark.slow
+def test_max_host_rss_restart_guard(tmp_path, monkeypatch):
+    """tpu.max_host_rss_gb: the trainer exits RESTART_EXIT_CODE after checkpointing when
+    host RSS exceeds the limit, and a resume run completes the remaining epochs."""
+    from diamond_tpu.utils import RESTART_EXIT_CODE
+
+    run_dir = tmp_path / "guard_run"
+    run_dir.mkdir()
+    monkeypatch.chdir(run_dir)
+    overrides = TINY_OVERRIDES + [
+        "training.num_final_epochs=2",
+        "evaluation.every=10",
+        "collection.test.num_final_episodes=1",
+        "tpu.max_host_rss_gb=0.001",  # certainly exceeded
+    ]
+    cfg = load_config("trainer", overrides=overrides)
+    trainer = Trainer(cfg, root_dir=tmp_path, run_dir=run_dir)
+    with pytest.raises(SystemExit) as e:
+        trainer.run()
+    assert e.value.code == RESTART_EXIT_CODE
+    assert trainer.epoch == 1  # stopped after the first checkpointed epoch
+    assert not (run_dir / ".run_is_over").exists()
+
+    cfg2 = load_config("trainer", overrides=overrides + [
+        "common.resume=True", "tpu.max_host_rss_gb=null"])
+    trainer2 = Trainer(cfg2, root_dir=tmp_path, run_dir=run_dir)
+    assert trainer2.epoch == 1
+    trainer2.run()
+    assert trainer2.epoch == trainer2.num_epochs_collect + 2
