@@ -50,16 +50,29 @@ class DeviceEpisodeStore:
     """
 
     def __init__(self, capacity_steps: int, img_size: Tuple[int, int, int],
-                 max_episodes: int = 4096) -> None:
+                 max_episodes: int = 4096, mesh=None) -> None:
         h, w, c = img_size
         self.capacity = int(capacity_steps)
         self.max_episodes = int(max_episodes)
-        self.obs = jnp.zeros((self.capacity, h, w, c), jnp.uint8)
-        self.act = jnp.zeros((self.capacity,), jnp.int32)
-        self.rew = jnp.zeros((self.capacity,), jnp.float32)
-        self.end = jnp.zeros((self.capacity,), jnp.int32)
-        self.trunc = jnp.zeros((self.capacity,), jnp.int32)
-        self.final_obs = jnp.zeros((self.max_episodes, h, w, c), jnp.uint8)
+
+        # On a data-parallel mesh the ring is REPLICATED (it fits HBM comfortably at this
+        # scale) and the gathered batches come out sharded on their leading axis: each
+        # device gathers its own batch shard from its local replica — zero collectives,
+        # zero meaningful H2D, same code path as single-device.
+        rep = None
+        if mesh is not None:
+            from ..parallel import batch_sharding, replicated
+
+            rep = replicated(mesh)
+            self._out_shardings = DeviceBatch(
+                *([batch_sharding(mesh)] * len(DeviceBatch.__dataclass_fields__)))
+        place = (lambda x: jax.device_put(x, rep)) if rep is not None else (lambda x: x)
+        self.obs = place(jnp.zeros((self.capacity, h, w, c), jnp.uint8))
+        self.act = place(jnp.zeros((self.capacity,), jnp.int32))
+        self.rew = place(jnp.zeros((self.capacity,), jnp.float32))
+        self.end = place(jnp.zeros((self.capacity,), jnp.int32))
+        self.trunc = place(jnp.zeros((self.capacity,), jnp.int32))
+        self.final_obs = place(jnp.zeros((self.max_episodes, h, w, c), jnp.uint8))
 
         # host-side index
         self.ep_offset = np.full(self.max_episodes, -1, np.int64)
@@ -68,8 +81,13 @@ class DeviceEpisodeStore:
         self.next_free = 0
         self._lock = threading.Lock()  # background pool builds sync concurrently
 
-        self._write = jax.jit(_write_chunk, donate_argnums=(0,))
-        self._gather = jax.jit(self._gather_impl)
+        if rep is not None:
+            self._write = jax.jit(_write_chunk, donate_argnums=(0,), out_shardings=rep)
+            self._gather = jax.jit(self._gather_impl,
+                                   out_shardings=self._out_shardings)
+        else:
+            self._write = jax.jit(_write_chunk, donate_argnums=(0,))
+            self._gather = jax.jit(self._gather_impl)
 
     # -- append / sync ---------------------------------------------------------
 

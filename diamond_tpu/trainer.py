@@ -228,8 +228,7 @@ class Trainer:
         # on the tunneled platform this is also required: the client leaks host staging
         # per H2D transfer, which OOM-killed a full-schedule run).
         self._device_store = None
-        if bool(cfg.get("tpu", {}).get("device_dataset", False)) and self._mesh is None \
-                and not self._is_model_free:
+        if bool(cfg.get("tpu", {}).get("device_dataset", False)) and not self._is_model_free:
             from .data.device_store import DeviceEpisodeStore
 
             cap = cfg.tpu.get("device_dataset_capacity")
@@ -239,7 +238,8 @@ class Trainer:
                     budget = max(budget, self.train_dataset.num_steps)
                 cap = int(1.25 * budget) + 2048
             size = cfg.env.train.size
-            self._device_store = DeviceEpisodeStore(int(cap), (size, size, 3))
+            self._device_store = DeviceEpisodeStore(int(cap), (size, size, 3),
+                                                    mesh=self._mesh)
             if self.train_dataset.num_episodes:
                 self._device_store.sync(self.train_dataset)
 

@@ -124,3 +124,25 @@ def test_store_overflow_raises(tmp_path):
     store = DeviceEpisodeStore(32, (H, W, 3))
     with pytest.raises(AssertionError, match="overflow"):
         store.sync(ds)
+
+
+def test_store_on_mesh_shards_batches(tmp_path):
+    """With a data-parallel mesh, the ring is replicated and gathered batches come out
+    sharded on the batch axis — identical values to the host path."""
+    from diamond_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(5)
+    ds = Dataset(tmp_path / "ds", "ds")
+    for t in (30, 40):
+        ds.add_episode(make_ep(rng, t))
+    mesh = make_mesh()
+    store = DeviceEpisodeStore(256, (H, W, 3), mesh=mesh)
+    store.sync(ds)
+
+    ids = [SegmentId(0, i, i + 6) for i in range(4)] + \
+          [SegmentId(1, i - 2, i + 4) for i in range(4)]
+    dev = store.make_batch(ids)
+    assert_batches_equal(dev, host_batch(ds, ids))
+    shard_names = {d for s in dev.obs.sharding.spec for d in (s if isinstance(s, tuple)
+                                                             else (s,)) if d}
+    assert "data" in shard_names, dev.obs.sharding
