@@ -180,7 +180,8 @@ class DeviceEpisodeStore:
             has_final_obs=has_final,
         )
 
-    def _index_arrays(self, segment_ids: List[SegmentId]):
+    def _index_arrays(self, segment_ids: List[SegmentId],
+                      masked_out: Optional[List[bool]] = None):
         b = len(segment_ids)
         t = segment_ids[0].stop - segment_ids[0].start
         idx = np.zeros((b, t), np.int32)
@@ -194,17 +195,20 @@ class DeviceEpisodeStore:
             assert off >= 0, f"episode {sid.episode_id} not in device store"
             pos = np.arange(sid.start, sid.stop)
             valid = (pos >= 0) & (pos < length)
+            if masked_out is not None and masked_out[i]:
+                valid = np.zeros_like(valid)  # pad_to_batch dummy: contributes nothing
             idx[i] = off + np.clip(pos, 0, max(0, length - 1))
             mask[i] = valid
             ep_idx[i] = sid.episode_id
             has_final[i] = self.ep_has_final[sid.episode_id]
         return idx, mask, ep_idx, has_final
 
-    def make_batch(self, segment_ids: List[SegmentId]) -> DeviceBatch:
+    def make_batch(self, segment_ids: List[SegmentId],
+                   masked_out: Optional[List[bool]] = None) -> DeviceBatch:
         """Device-resident DeviceBatch for the given segment windows (the on-device
         equivalent of [make_segment...] + collate_segments_to_batch)."""
         with self._lock:
-            idx, mask, ep_idx, has_final = self._index_arrays(segment_ids)
+            idx, mask, ep_idx, has_final = self._index_arrays(segment_ids, masked_out)
             return self._gather(self.obs, self.act, self.rew, self.end, self.trunc,
                                 self.final_obs, jnp.asarray(idx), jnp.asarray(mask),
                                 jnp.asarray(ep_idx), jnp.asarray(has_final))

@@ -30,27 +30,38 @@ class DatasetTraverser:
             for eid in range(self.dataset.num_episodes)
         ) / self.batch_num_samples)
 
-    def __iter__(self) -> Generator[Batch, None, None]:
-        chunks = []
+    def iter_batches_ids(self):
+        """Yield (segment_ids, masked_out) per batch — the pure index form of __iter__
+        (masked_out marks the pad_to_batch dummy entries, which repeat the last real id
+        with a fully-False mask). Lets device-store consumers run the identical traversal
+        without materializing host segments."""
+        cs = self.chunk_size
+        chunks = []  # (SegmentId, masked_out)
         for episode_id in range(self.dataset.num_episodes):
-            episode = self.dataset.load_episode(episode_id)
-            chunks.extend(
-                make_segment(episode,
-                             SegmentId(episode_id, i * self.chunk_size,
-                                       (i + 1) * self.chunk_size),
-                             should_pad=True)
-                for i in range(math.ceil(len(episode) / self.chunk_size)))
+            length = int(self.dataset.lengths[episode_id])
+            for i in range(math.ceil(length / cs)):
+                chunks.append((SegmentId(episode_id, i * cs, (i + 1) * cs), False))
             # drop size-1 tails (reference data/utils.py:74-75)
-            if chunks and chunks[-1].effective_size < 2:
+            if chunks and min(length, chunks[-1][0].stop) - chunks[-1][0].start < 2:
                 chunks.pop()
             while len(chunks) >= self.batch_num_samples:
-                yield collate_segments_to_batch(chunks[: self.batch_num_samples])
+                head = chunks[: self.batch_num_samples]
                 chunks = chunks[self.batch_num_samples:]
+                yield [c[0] for c in head], [c[1] for c in head]
         if chunks:
             if self.pad_to_batch:
-                dummy = _masked_out_copy(chunks[-1])
-                chunks = chunks + [dummy] * (self.batch_num_samples - len(chunks))
-            yield collate_segments_to_batch(chunks)
+                chunks = chunks + [(chunks[-1][0], True)] * (self.batch_num_samples
+                                                             - len(chunks))
+            yield [c[0] for c in chunks], [c[1] for c in chunks]
+
+    def __iter__(self) -> Generator[Batch, None, None]:
+        for ids, masked in self.iter_batches_ids():
+            segments = []
+            for sid, is_dummy in zip(ids, masked):
+                seg = make_segment(self.dataset.load_episode(sid.episode_id), sid,
+                                   should_pad=True)
+                segments.append(_masked_out_copy(seg) if is_dummy else seg)
+            yield collate_segments_to_batch(segments)
 
 
 def _masked_out_copy(seg):

@@ -613,6 +613,19 @@ class Trainer:
             names.append("upsampler")
         if self._wm_only:
             names = [n for n in names if n != "rew_end_model"]
+
+        # Route eval batches through a (per-eval) device store as well — the test dataset
+        # is rebuilt every eval, so mirror it fresh; closes the last bulk H2D path of the
+        # training loop on the leaking platform (data/device_store.py).
+        test_store = None
+        if self._device_store is not None and self.test_dataset.num_episodes:
+            from .data.device_store import DeviceEpisodeStore
+
+            size = self._cfg.env.train.size
+            test_store = DeviceEpisodeStore(self.test_dataset.num_steps + 8,
+                                            (size, size, 3), mesh=self._mesh)
+            test_store.sync(self.test_dataset)
+
         for name in names:
             c = self._cfg[name].training
             if self.epoch <= c.start_after_epochs:
@@ -621,8 +634,11 @@ class Trainer:
             traverser = DatasetTraverser(self.test_dataset, c.batch_size, seq_length,
                                          pad_to_batch=True)
             logs: Logs = []
-            for batch in traverser:
-                db = DeviceBatch.from_batch(batch)
+            batches = (test_store.make_batch(ids, masked)
+                       for ids, masked in traverser.iter_batches_ids()) \
+                if test_store is not None else \
+                (DeviceBatch.from_batch(b) for b in traverser)
+            for db in batches:
                 if name == "denoiser":
                     metrics = self._denoiser_eval(self._d_variables(), db, self._next_key())
                 elif name == "upsampler":

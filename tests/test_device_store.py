@@ -146,3 +146,32 @@ def test_store_on_mesh_shards_batches(tmp_path):
     shard_names = {d for s in dev.obs.sharding.spec for d in (s if isinstance(s, tuple)
                                                              else (s,)) if d}
     assert "data" in shard_names, dev.obs.sharding
+
+
+def test_traverser_ids_match_batches(tmp_path):
+    """iter_batches_ids is the index form of the traverser's __iter__: the store-gathered
+    batch equals the host batch on every real entry, with identical masks everywhere
+    (pad_to_batch dummies are fully masked and contribute to nothing)."""
+    from diamond_tpu.data import DatasetTraverser
+
+    rng = np.random.default_rng(6)
+    ds = Dataset(tmp_path / "ds", "ds")
+    for t in (23, 9, 31, 2):  # includes a size-1-tail case (31 % 6 == 1)
+        ds.add_episode(make_ep(rng, t))
+    store = DeviceEpisodeStore(256, (H, W, 3))
+    store.sync(ds)
+
+    trav = DatasetTraverser(ds, 3, 6, pad_to_batch=True)
+    host_batches = list(iter(trav))
+    id_batches = list(trav.iter_batches_ids())
+    assert len(host_batches) == len(id_batches) == len(trav)
+    for hb, (ids, masked) in zip(host_batches, id_batches):
+        dev = store.make_batch(ids, masked)
+        hdb = DeviceBatch.from_batch(hb)
+        np.testing.assert_array_equal(np.asarray(dev.mask_padding),
+                                      np.asarray(hdb.mask_padding))
+        real = ~np.asarray(masked)
+        for name in ("obs", "act", "rew", "end", "trunc", "final_obs", "has_final_obs"):
+            np.testing.assert_array_equal(np.asarray(getattr(dev, name))[real],
+                                          np.asarray(getattr(hdb, name))[real],
+                                          err_msg=name)
