@@ -39,6 +39,43 @@ def _write_chunk(store: jnp.ndarray, vals: jnp.ndarray, idx: jnp.ndarray) -> jnp
     return store.at[idx].set(vals, mode="drop")
 
 
+def _gather_batch(obs, act, rew, end, trunc, final_obs, idx, mask, ep_idx, has_final):
+    m = mask
+    return DeviceBatch(
+        obs=jnp.where(m[..., None, None, None], obs[idx], 0),
+        act=jnp.where(m, act[idx], 0),
+        rew=jnp.where(m, rew[idx], 0.0),
+        end=jnp.where(m, end[idx], 0),
+        trunc=jnp.where(m, trunc[idx], 0),
+        mask_padding=m,
+        final_obs=jnp.where(has_final[:, None, None, None], final_obs[ep_idx], 0),
+        has_final_obs=has_final,
+    )
+
+
+# jitted write/gather are pure — share compilations across store instances (the per-eval
+# test stores would otherwise re-trace every evaluation)
+_JIT_CACHE: Dict = {}
+
+
+def _jitted_ops(mesh):
+    key = mesh
+    if key not in _JIT_CACHE:
+        if mesh is None:
+            write = jax.jit(_write_chunk, donate_argnums=(0,))
+            gather = jax.jit(_gather_batch)
+        else:
+            from ..parallel import batch_sharding, replicated
+
+            out = DeviceBatch(
+                *([batch_sharding(mesh)] * len(DeviceBatch.__dataclass_fields__)))
+            write = jax.jit(_write_chunk, donate_argnums=(0,),
+                            out_shardings=replicated(mesh))
+            gather = jax.jit(_gather_batch, out_shardings=out)
+        _JIT_CACHE[key] = (write, gather)
+    return _JIT_CACHE[key]
+
+
 class DeviceEpisodeStore:
     """Append-mostly mirror of a host Dataset on the accelerator.
 
@@ -61,11 +98,9 @@ class DeviceEpisodeStore:
         # zero meaningful H2D, same code path as single-device.
         rep = None
         if mesh is not None:
-            from ..parallel import batch_sharding, replicated
+            from ..parallel import replicated
 
             rep = replicated(mesh)
-            self._out_shardings = DeviceBatch(
-                *([batch_sharding(mesh)] * len(DeviceBatch.__dataclass_fields__)))
         place = (lambda x: jax.device_put(x, rep)) if rep is not None else (lambda x: x)
         self.obs = place(jnp.zeros((self.capacity, h, w, c), jnp.uint8))
         self.act = place(jnp.zeros((self.capacity,), jnp.int32))
@@ -81,13 +116,7 @@ class DeviceEpisodeStore:
         self.next_free = 0
         self._lock = threading.Lock()  # background pool builds sync concurrently
 
-        if rep is not None:
-            self._write = jax.jit(_write_chunk, donate_argnums=(0,), out_shardings=rep)
-            self._gather = jax.jit(self._gather_impl,
-                                   out_shardings=self._out_shardings)
-        else:
-            self._write = jax.jit(_write_chunk, donate_argnums=(0,))
-            self._gather = jax.jit(self._gather_impl)
+        self._write, self._gather = _jitted_ops(mesh)
 
     # -- append / sync ---------------------------------------------------------
 
@@ -164,21 +193,6 @@ class DeviceEpisodeStore:
                     self.ep_has_final[ep_id] = False
 
     # -- batch assembly --------------------------------------------------------
-
-    def _gather_impl(self, obs, act, rew, end, trunc, final_obs, idx, mask, ep_idx,
-                     has_final):
-        m = mask
-        b_obs = jnp.where(m[..., None, None, None], obs[idx], 0)
-        return DeviceBatch(
-            obs=b_obs,
-            act=jnp.where(m, act[idx], 0),
-            rew=jnp.where(m, rew[idx], 0.0),
-            end=jnp.where(m, end[idx], 0),
-            trunc=jnp.where(m, trunc[idx], 0),
-            mask_padding=m,
-            final_obs=jnp.where(has_final[:, None, None, None], final_obs[ep_idx], 0),
-            has_final_obs=has_final,
-        )
 
     def _index_arrays(self, segment_ids: List[SegmentId],
                       masked_out: Optional[List[bool]] = None):

@@ -183,10 +183,13 @@ def make_dataset_ic_provider(dataset, sampler, rew_end_model, r_vars_getter,
 
     @jax.jit
     def to_low(obs_u8):
-        from ..models.denoiser import downsample_avg
+        from ..models.denoiser import downsample_avg, quantize_to_uint8_grid
 
-        low = downsample_avg(obs_to_float(obs_u8), downsample_factor)
-        return jnp.round((jnp.clip(low, -1, 1) + 1) / 2 * 255).astype(jnp.uint8)
+        # same floor-grid convention as _to_buffer_res / the sampled WM outputs, so the
+        # burn-in sees exactly the pixels the env buffers will carry
+        low = quantize_to_uint8_grid(downsample_avg(obs_to_float(obs_u8),
+                                                    downsample_factor))
+        return ((low + 1.0) * 127.5).round().astype(jnp.uint8)
 
     def provider(n: int):
         ids = []

@@ -322,6 +322,7 @@ class PoolManager:
         self._prepare = make_ic_preparer(engine.rew_end_model)
         self._pending: Optional[threading.Thread] = None
         self._next_pool: Optional[ICPool] = None
+        self._pending_error: Optional[BaseException] = None
 
     def build_pool(self, r_vars: Variables) -> ICPool:
         """Synchronous full build (burn-in uses the given reward/end weights)."""
@@ -357,11 +358,24 @@ class PoolManager:
             return
 
         def work() -> None:
-            self._next_pool = self.build_pool(r_vars)
+            try:
+                self._next_pool = self.build_pool(r_vars)
+            except BaseException as e:  # surfaced on the next ensure(); never swallowed
+                self._pending_error = e
 
         self._pending = threading.Thread(target=work, daemon=True,
                                          name="diamond-pool-builder")
         self._pending.start()
+
+    def wait_pending(self) -> None:
+        """Block until any background build finishes — call before mutating the dataset
+        the sampler reads (episode appends during collection race the build thread)."""
+        if self._pending is not None:
+            self._pending.join()
+            if self._pending_error is not None:
+                e, self._pending_error = self._pending_error, None
+                self._pending, self._next_pool = None, None
+                raise RuntimeError("background IC-pool build failed") from e
 
     def ensure(self, pool: Optional[ICPool], r_vars: Variables,
                max_consumption: int) -> Tuple[Optional[ICPool], bool]:
@@ -374,9 +388,11 @@ class PoolManager:
             return pool, False
         t0 = time.perf_counter()
         if self._pending is not None:
-            self._pending.join()
+            self.wait_pending()
             pool = self._next_pool
             self._pending, self._next_pool = None, None
+            if pool is None:  # no background mode or a cleared failure: rebuild inline
+                pool = self.build_pool(r_vars)
         else:
             pool = self.build_pool(r_vars)
         self.last_refill_wait_s = time.perf_counter() - t0

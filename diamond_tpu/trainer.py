@@ -113,6 +113,13 @@ class Trainer:
         if self._is_static_dataset:
             self.train_dataset.is_static = True
 
+        if self._has_upsampler and not self._is_static_dataset:
+            raise ValueError(
+                "two-stage (agent.upsampler) training collects nothing itself — the "
+                "policy/reward nets live at the dynamics (low) resolution and cannot act "
+                "on full-res env frames; set static_dataset.path (the csgo operating "
+                "mode, with training.wm_only=True)")
+
         # Envs (host side)
         train_env = make_env(num_envs=cfg.collection.train.num_envs, **cfg.env.train)
         test_env = make_env(num_envs=cfg.collection.test.num_envs, **cfg.env.test)
@@ -387,6 +394,10 @@ class Trainer:
             should_collect_train = (not self._is_model_free and not self._is_static_dataset
                                     and self.epoch <= self.num_epochs_collect)
             if should_collect_train:
+                if self._pool_manager is not None:
+                    # the background IC-pool builder samples the train dataset; quiesce it
+                    # before episode appends mutate the index under it
+                    self._pool_manager.wait_pending()
                 to_log += self._train_collector.send(
                     NumToCollect(steps=cfg.collection.train.steps_per_epoch))
 

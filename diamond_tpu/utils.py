@@ -103,7 +103,12 @@ def get_path_agent_ckpt(path_ckpt_dir: Union[str, Path], epoch: int, num_zeros: 
     """reference: src/utils.py:199-206 (negative epoch indexes from the end)."""
     d = Path(path_ckpt_dir) / "agent_versions"
     if epoch >= 0:
-        return d / f"agent_epoch_{epoch:0{num_zeros}d}.npz"
+        p = d / f"agent_epoch_{epoch:0{num_zeros}d}.npz"
+        if not p.is_file():  # legacy (pre-npz) snapshot from an older run
+            legacy = p.with_suffix(".pt")
+            if legacy.is_file():
+                return legacy
+        return p
     all_ = sorted(d.iterdir())
     assert len(all_) >= -epoch
     return all_[epoch]

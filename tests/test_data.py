@@ -168,3 +168,36 @@ def test_traverser_pad_to_batch(tmp_path):
     # padding segments are fully masked -> contribute nothing
     total_real = sum(b.mask_padding.any(axis=1).sum() for b in batches)
     assert total_real == 4
+
+
+def test_dataset_legacy_state_dict_loads(tmp_path):
+    """Pre-rewrite state dicts carried Counter objects (counter_rew/counter_end) and no
+    is_static flag — they must still resume (code-review round 2)."""
+    from collections import Counter
+
+    import numpy as np
+
+    from diamond_tpu.data import Dataset
+
+    ds = Dataset(tmp_path / "d", "d")
+    ds.load_state_dict({
+        "start_idx": np.array([0, 10]),
+        "lengths": np.array([10, 7]),
+        "counter_rew": Counter({-1: 3, 0: 12, 1: 2}),
+        "counter_end": Counter({0: 15, 1: 2}),
+    })
+    assert ds.num_episodes == 2 and ds.num_steps == 17
+    assert ds.counts_rew == [3, 12, 2]
+    assert ds.counts_end == [15, 2]
+    assert not ds.is_static
+
+
+def test_get_path_agent_ckpt_legacy_pt_fallback(tmp_path):
+    from diamond_tpu.utils import get_path_agent_ckpt
+
+    d = tmp_path / "agent_versions"
+    d.mkdir()
+    (d / "agent_epoch_00003.pt").write_bytes(b"x")
+    assert get_path_agent_ckpt(tmp_path, 3).suffix == ".pt"
+    (d / "agent_epoch_00003.npz").write_bytes(b"y")
+    assert get_path_agent_ckpt(tmp_path, 3).suffix == ".npz"

@@ -175,3 +175,12 @@ def test_traverser_ids_match_batches(tmp_path):
             np.testing.assert_array_equal(np.asarray(getattr(dev, name))[real],
                                           np.asarray(getattr(hdb, name))[real],
                                           err_msg=name)
+
+
+def test_jit_cache_shared_across_stores(tmp_path):
+    from diamond_tpu.data.device_store import _jitted_ops
+
+    a = DeviceEpisodeStore(64, (H, W, 3))
+    b = DeviceEpisodeStore(64, (H, W, 3))
+    assert a._gather is b._gather and a._write is b._write
+    assert _jitted_ops(None)[1] is a._gather

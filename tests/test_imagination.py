@@ -144,3 +144,31 @@ def test_ac_train_step_updates_policy(setup):
         not np.allclose(a, np.asarray(b))
         for a, b in zip(init_leaves, jax.tree_util.tree_leaves(state.params)))
     assert moved
+
+
+def test_pool_manager_background_failure_surfaces(setup):
+    """A crash in the background pool-builder thread must surface on the next ensure(),
+    not silently produce a None pool (code-review round 2)."""
+    from diamond_tpu.envs.world_model_env import PoolManager
+
+    engine, d_vars, r_vars, ac_vars = setup
+    real_pool = make_pool(engine, r_vars, size=8)
+
+    mgr = PoolManager(engine, None, None, pool_size=8, chunk=8, background=True)
+    calls = {"n": 0}
+
+    def fake_build(rv):  # succeed once (foreground), raise in the background build
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("boom")
+        return real_pool
+
+    mgr.build_pool = fake_build
+    pool, swapped = mgr.ensure(None, r_vars, max_consumption=1)  # kicks background build
+    assert swapped and pool is real_pool
+    consumed = pool.replace(ptr=pool.ptr + pool.size)  # force needs_refill
+    with pytest.raises(RuntimeError, match="IC-pool build failed"):
+        mgr.ensure(consumed, r_vars, max_consumption=1)
+    # wait_pending with nothing pending is a no-op
+    mgr._pending = None
+    mgr.wait_pending()
