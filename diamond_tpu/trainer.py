@@ -413,7 +413,10 @@ class Trainer:
             if profiling:
                 jax.profiler.stop_trace()
 
-            to_log.append({"duration": (time.time() - start_time) / 3600})
+            from .utils import RESTART_EXIT_CODE, host_rss_gb
+
+            to_log.append({"duration": (time.time() - start_time) / 3600,
+                           "host_rss_gb": round(host_rss_gb(), 3)})
             self.logger.log(to_log, self.epoch)
             to_log = []
             self.save_checkpoint()
@@ -422,7 +425,6 @@ class Trainer:
             # transfer (see data/device_store.py); if a residual path still grows RSS past
             # the limit, exit checkpointed-and-restartable instead of getting OOM-killed
             # mid-epoch. scripts/resume.sh loops on this exit code.
-            from .utils import RESTART_EXIT_CODE, host_rss_gb
 
             limit = cfg.get("tpu", {}).get("max_host_rss_gb")
             if limit is not None and host_rss_gb() > float(limit):
