@@ -172,3 +172,55 @@ def test_pool_manager_background_failure_surfaces(setup):
     # wait_pending with nothing pending is a no-op
     mgr._pending = None
     mgr.wait_pending()
+
+
+@pytest.mark.slow
+def test_imagination_rl_learns_on_mock_world_model(setup):
+    """The full fused rollout + REINFORCE path LEARNS: with a mock world model that
+    rewards action 2 (+1) and punishes everything else (-1), the policy converges to
+    action 2 (capability guard for the batched-encoder rollout refactor)."""
+    from diamond_tpu.data.episode import obs_to_float
+    from diamond_tpu.models import ActorCriticLossConfig, configure_opt
+    from diamond_tpu.training import TrainState, make_ac_train_step
+
+    engine, d_vars, r_vars, ac_vars = setup
+    B = 16
+
+    orig_sample = engine.sampler.sample
+    orig_rew_end = engine.rew_end_model.predict_rew_end
+    try:
+        engine.sampler.sample = \
+            lambda v, rng, prev_obs, prev_act, return_trajectory=False: (prev_obs[:, -1], [])
+
+        def fake_rew_end(rv, obs, act, next_obs, carry=None):
+            b = obs.shape[0]
+            a = act[:, 0]
+            lr = jnp.where((a == 2)[:, None], jnp.array([[-30.0, -30.0, 30.0]]),
+                           jnp.array([[30.0, -30.0, -30.0]]))
+            le = jnp.broadcast_to(jnp.array([[30.0, -30.0]]), (b, 2))
+            if carry is None:
+                carry = (jnp.zeros((b, D)), jnp.zeros((b, D)))
+            return lr[:, None], le[:, None], carry
+
+        engine.rew_end_model.predict_rew_end = fake_rew_end
+
+        pool = make_pool(engine, r_vars, size=64)
+        st, pool = engine.initial_state(pool, B)
+        tx = configure_opt(3e-3, 0.0, 1e-8, 100.0, 0)
+        step = make_ac_train_step(engine, engine.actor_critic, tx, ActorCriticLossConfig(
+            backup_every=HORIZON, gamma=0.9, lambda_=0.95, weight_value_loss=1.0,
+            weight_entropy_loss=0.001))
+        state = TrainState.create(ac_vars["params"], tx)
+        key = jax.random.PRNGKey(1)
+        for _ in range(150):
+            key, kk = jax.random.split(key)
+            state, st, pool, m = step(state, d_vars, r_vars, st, pool, kk)
+
+        obs = obs_to_float(pool.obs[:B, -1])
+        out = engine.actor_critic.predict_act_value(
+            {"params": state.params}, obs, (jnp.zeros((B, D)), jnp.zeros((B, D))))
+        p2 = float(jax.nn.softmax(out.logits_act, -1)[:, 2].mean())
+        assert p2 > 0.8, p2
+    finally:
+        engine.sampler.sample = orig_sample
+        engine.rew_end_model.predict_rew_end = orig_rew_end
