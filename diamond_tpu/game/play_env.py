@@ -46,10 +46,19 @@ class PlayEnv:
         self._episode_len = 0
 
         ac = agent.actor_critic
+        # two-stage agents: the policy lives at the dynamics (low) resolution while the
+        # displayed frames are full-res — downsample its input accordingly
+        factor = agent.cfg.upsampler.upsampling_factor \
+            if getattr(agent, "upsampler", None) is not None else 1
 
         @jax.jit
         def policy_step(variables, obs_u8, carry, key):
-            out = ac.predict_act_value(variables, obs_to_float(jnp.asarray(obs_u8)), carry)
+            obs = obs_to_float(jnp.asarray(obs_u8))
+            if factor > 1:
+                from ..models.denoiser import downsample_avg, quantize_to_uint8_grid
+
+                obs = quantize_to_uint8_grid(downsample_avg(obs, factor))
+            out = ac.predict_act_value(variables, obs, carry)
             act = jax.random.categorical(key, out.logits_act, axis=-1)
             return act, out.carry
 

@@ -126,3 +126,64 @@ def _batch1_wm(stack):
 
     return WorldModelEnv(engine, lambda: d_vars, lambda: r_vars, provider, num_envs=1,
                          seed=5)
+
+
+def test_game_loop_headless_two_stage(tmp_path, monkeypatch):
+    """Two-stage play: low-res dynamics + upsampled display, policy control downsamples
+    its input to the dynamics resolution (game/play_env.py)."""
+    pytest.importorskip("pygame")
+    monkeypatch.setenv("SDL_VIDEODRIVER", "dummy")
+
+    LOW, HIGH, F = 8, 16, 2
+    low = Denoiser(DenoiserConfig(
+        inner_model=InnerModelConfig(img_channels=C, num_steps_conditioning=2,
+                                     cond_channels=8, depths=[1], channels=[8],
+                                     attn_depths=[0], num_actions=NA),
+        sigma_data=0.5, sigma_offset_noise=0.3))
+    up = Denoiser(DenoiserConfig(
+        inner_model=InnerModelConfig(img_channels=C, num_steps_conditioning=1,
+                                     cond_channels=8, depths=[1], channels=[8],
+                                     attn_depths=[0]),
+        sigma_data=0.5, sigma_offset_noise=0.3, upsampling_factor=F))
+    rew_end = RewEndModel(RewEndModelConfig(lstm_dim=D, img_channels=C, img_size=LOW,
+                                            cond_channels=8, depths=[1], channels=[8],
+                                            attn_depths=[0], num_actions=NA))
+    ac = ActorCritic(ActorCriticConfig(lstm_dim=D, img_channels=C, img_size=LOW,
+                                       channels=[8], down=[1], num_actions=NA))
+    k = jax.random.PRNGKey(0)
+    d_vars = low.init(k, img_size=LOW)
+    u_vars = up.init(k, img_size=HIGH)
+    r_vars = rew_end.init(jax.random.PRNGKey(1))
+    ac_vars = ac.init(jax.random.PRNGKey(2))
+    engine = ImaginationEngine(low, rew_end, ac, WorldModelEnvConfig(
+        horizon=3, num_batches_to_preload=1,
+        diffusion_sampler=DiffusionSamplerConfig(num_steps_denoising=1)))
+    rng = np.random.default_rng(0)
+
+    def provider(n):
+        obs = rng.integers(0, 255, (n, 2, HIGH, HIGH, C), dtype=np.uint8)
+        act = rng.integers(0, NA, (n, 2)).astype(np.int32)
+        return obs, act, np.zeros((n, D), np.float32), np.zeros((n, D), np.float32)
+
+    wm = WorldModelEnv(engine, lambda: d_vars, lambda: r_vars, provider, num_envs=1,
+                       upsampler=up, u_vars_getter=lambda: u_vars)
+
+    class StubCfgUp:
+        upsampling_factor = F
+
+    class StubCfg:
+        upsampler = StubCfgUp()
+
+    class AgentStub:
+        actor_critic = ac
+        upsampler = up
+        cfg = StubCfg()
+        variables = {"actor_critic": ac_vars, "upsampler": u_vars}
+
+    from diamond_tpu.game.game import Game
+    from diamond_tpu.game.play_env import NamedEnv, PlayEnv
+
+    play_env = PlayEnv(AgentStub(), [NamedEnv("world_model", wm)], keymap_name="fake",
+                       fps=30)
+    play_env.human = False  # the policy must act on the DOWNSAMPLED frames
+    Game(play_env, size=(64, 64), fps=1000).run(max_steps=6)
