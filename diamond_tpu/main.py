@@ -34,8 +34,20 @@ def parse_args(argv=None):
 
 def main(argv=None) -> None:
     args = parse_args(argv)
+
+    # Resume loads the RUN's saved (fully-resolved) config so the original overrides
+    # survive — the reference gets this from Hydra's .hydra snapshot; re-passing every
+    # override on resume is not required (scripts/resume.sh passes none).
+    config_dir = args.config_dir
+    wants_resume = any(o.replace(" ", "") in ("common.resume=True", "common.resume=true")
+                       for o in args.overrides)
+    if wants_resume and config_dir is None:
+        saved = (args.run_dir if args.run_dir is not None else Path.cwd()) / "config"
+        if (saved / f"{args.config_name}.yaml").is_file():
+            config_dir = saved
+
     cfg = load_config(args.config_name, overrides=args.overrides,
-                      config_dir=args.config_dir)
+                      config_dir=config_dir)
 
     root_dir = Path(__file__).resolve().parents[1]
     if args.run_dir is not None:

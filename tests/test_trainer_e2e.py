@@ -226,3 +226,24 @@ def test_max_host_rss_restart_guard(tmp_path, monkeypatch):
     assert trainer2.epoch == 1
     trainer2.run()
     assert trainer2.epoch == trainer2.num_epochs_collect + 2
+
+
+@pytest.mark.slow
+def test_cli_resume_reloads_saved_config(tmp_path, monkeypatch):
+    """`main.py common.resume=True` must reload the RUN's saved config (the original
+    overrides — e.g. env=fake — are not re-passed; scripts/resume.sh passes none)."""
+    from diamond_tpu.main import main as cli_main
+
+    run_dir = tmp_path / "cli_run"
+    monkeypatch.chdir(tmp_path)
+    cli_main(TINY_OVERRIDES + [
+        "training.num_final_epochs=1",
+        "evaluation.every=10",
+        "collection.test.num_final_episodes=1",
+        "--run-dir", str(run_dir),
+    ])
+    assert (run_dir / ".run_is_over").exists()
+    monkeypatch.chdir(tmp_path)
+    # without the saved-config reload this raises the ale-py ImportError (env=atari);
+    # with it, the finished-run guard skips instantly
+    cli_main(["common.resume=True", "--run-dir", str(run_dir)])
