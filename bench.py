@@ -17,6 +17,9 @@ vs_baseline = measured / target.
 """
 
 import json
+import os
+import signal
+import sys
 import time
 
 import jax
@@ -36,10 +39,40 @@ HORIZON = 15
 NUM_ACTIONS = 4  # Breakout
 
 
+WATCHDOG_S = int(os.environ.get("DIAMOND_TPU_BENCH_WATCHDOG_S", "900"))
+_stage = "startup"
+
+
+def _note(stage: str) -> None:
+    """Progress marker: names the stage the watchdog would blame for a stall."""
+    global _stage
+    _stage = stage
+    print(f"[bench] {time.strftime('%H:%M:%S')} {stage}", file=sys.stderr, flush=True)
+
+
+def _watchdog(signum, frame):  # noqa: ARG001
+    """The tunneled platform sometimes wedges every client for tens of minutes
+    (VALIDATION.md). Emit a diagnostic JSON record instead of hanging the harness."""
+    print(json.dumps({
+        "metric": "imagination_fps_batch32_n3",
+        "value": 0.0,
+        "unit": "env_frames/s",
+        "vs_baseline": 0.0,
+        "error": "platform_hang",
+        "stage": _stage,
+        "watchdog_s": WATCHDOG_S,
+    }), flush=True)
+    os._exit(75)
+
+
 def main() -> None:
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(WATCHDOG_S)
+    _note("load_config")
     cfg = load_config("trainer")
     agent_cfg = AgentConfig.from_cfg(cfg.agent, NUM_ACTIONS)
     agent = Agent(agent_cfg, compute_dtype=jnp.bfloat16)
+    _note("agent.init")
     agent.init(jax.random.PRNGKey(0), img_size=cfg.env.train.size)
 
     wm_cfg = WorldModelEnvConfig.from_cfg(cfg.world_model_env)
@@ -53,6 +86,7 @@ def main() -> None:
     pool_n = 4096
     obs_u8 = rng.integers(0, 255, (pool_n, n_cond, size, size, 3), dtype=np.uint8)
     act = rng.integers(0, NUM_ACTIONS, (pool_n, n_cond)).astype(np.int32)
+    _note("ic_pool_upload_and_burnin")
     hx, cx = make_ic_preparer(agent.rew_end_model)(
         agent.variables["rew_end_model"], jnp.asarray(obs_u8), jnp.asarray(act))
     pool = ICPool(obs=jnp.asarray(obs_u8), act=jnp.asarray(act), hx=hx, cx=cx,
@@ -70,9 +104,11 @@ def main() -> None:
 
     # warmup / compile (value-forced: block_until_ready is unreliable on tunneled
     # platforms, so timings always materialize a value derived from the results)
+    _note("rollout_compile")
     out, st, pool = run(jax.random.PRNGKey(1), st, pool)
     _ = float(out.sum())
 
+    _note("timing")
     best = float("inf")
     iters = 10
     for rep in range(3):

@@ -41,8 +41,10 @@ class DatasetTraverser:
             length = int(self.dataset.lengths[episode_id])
             for i in range(math.ceil(length / cs)):
                 chunks.append((SegmentId(episode_id, i * cs, (i + 1) * cs), False))
-            # drop size-1 tails (reference data/utils.py:74-75)
-            if chunks and min(length, chunks[-1][0].stop) - chunks[-1][0].start < 2:
+            # drop size-1 tails (reference data/utils.py:74-75); `length and` guards the
+            # zero-length-episode case, where chunks[-1] would be a PREVIOUS episode's
+            # still-unflushed chunk evaluated against the wrong length
+            if length and chunks and min(length, chunks[-1][0].stop) - chunks[-1][0].start < 2:
                 chunks.pop()
             while len(chunks) >= self.batch_num_samples:
                 head = chunks[: self.batch_num_samples]

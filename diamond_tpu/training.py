@@ -26,7 +26,8 @@ from .data.segment import DeviceBatch
 from .envs.world_model_env import ICPool, ImagState, ImaginationEngine
 from .models.actor_critic import ActorCritic, ActorCriticLossConfig
 from .models.agent import configure_opt
-from .models.denoiser import Denoiser, SigmaDistributionConfig, downsample_avg
+from .models.denoiser import (Denoiser, SigmaDistributionConfig, downsample_avg,
+                              quantize_to_uint8_grid)
 from .models.rew_end_model import RewEndModel
 
 Variables = Any
@@ -70,13 +71,25 @@ class OptimizerSpec:
 
 
 def _apply_update(tx: optax.GradientTransformation, state: TrainState, grads: Any,
-                  pmean_axis: Optional[str] = None) -> Tuple[TrainState, jnp.ndarray]:
-    if pmean_axis is not None:
-        grads = jax.lax.pmean(grads, pmean_axis)
+                  ) -> Tuple[TrainState, jnp.ndarray]:
+    """Data parallelism is GSPMD: batch-sharded inputs + replicated params make XLA insert
+    the grad all-reduce itself (parallel/mesh.py) — no explicit pmean is needed or kept."""
     grad_norm = optax.global_norm(grads)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return state.replace(params=params, opt_state=opt_state, step=state.step + 1), grad_norm
+
+
+def _two_stage_obs(obs_u8, downsample_factor: int):
+    """Dynamics-model view of the frames. In two-stage mode the rollout's conditioning
+    buffers carry uint8-grid-quantized low-res frames (envs/wm_env_stateful.py,
+    envs/world_model_env.py) — quantize the training target/conditioning identically so
+    train and inference see the same pixel distribution (the upsampler loss already does,
+    models/denoiser.py loss_upsampler)."""
+    obs = obs_to_float(obs_u8)
+    if downsample_factor == 1:
+        return obs
+    return quantize_to_uint8_grid(downsample_avg(obs, downsample_factor))
 
 
 # ---------------------------------------------------------------------------
@@ -85,24 +98,23 @@ def _apply_update(tx: optax.GradientTransformation, state: TrainState, grads: An
 
 def make_denoiser_train_step(denoiser: Denoiser, tx: optax.GradientTransformation,
                              sigma_cfg: SigmaDistributionConfig,
-                             pmean_axis: Optional[str] = None,
                              downsample_factor: int = 1) -> Callable:
     """``downsample_factor`` > 1 = two-stage world model: the dataset stores full-res
     frames, the dynamics denoiser trains on their on-device area downsample."""
 
     def loss_fn(params, constants, batch: DeviceBatch, rng):
         variables = {"params": params, "constants": constants}
-        obs = downsample_avg(obs_to_float(batch.obs), downsample_factor)
+        obs = _two_stage_obs(batch.obs, downsample_factor)
         return denoiser.loss(variables, obs, batch.act, batch.mask_padding, rng, sigma_cfg)
 
     def step(state: TrainState, constants: Any, batch: DeviceBatch, rng) -> Tuple[TrainState, Dict]:
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, constants, batch, rng)
-        state, grad_norm = _apply_update(tx, state, grads, pmean_axis)
+        state, grad_norm = _apply_update(tx, state, grads)
         metrics["grad_norm_before_clip"] = grad_norm
         return state, metrics
 
-    return step if pmean_axis else jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,))
 
 
 # ---------------------------------------------------------------------------
@@ -110,8 +122,7 @@ def make_denoiser_train_step(denoiser: Denoiser, tx: optax.GradientTransformatio
 
 
 def make_upsampler_train_step(upsampler: Denoiser, tx: optax.GradientTransformation,
-                              sigma_cfg: SigmaDistributionConfig,
-                              pmean_axis: Optional[str] = None) -> Callable:
+                              sigma_cfg: SigmaDistributionConfig) -> Callable:
     """Per-frame super-resolution training: batches of full-res segments, time folded
     into batch inside the loss (models/denoiser.py loss_upsampler)."""
 
@@ -124,11 +135,11 @@ def make_upsampler_train_step(upsampler: Denoiser, tx: optax.GradientTransformat
              ) -> Tuple[TrainState, Dict]:
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, constants, batch, rng)
-        state, grad_norm = _apply_update(tx, state, grads, pmean_axis)
+        state, grad_norm = _apply_update(tx, state, grads)
         metrics["grad_norm_before_clip"] = grad_norm
         return state, metrics
 
-    return step if pmean_axis else jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,))
 
 
 def make_upsampler_eval_step(upsampler: Denoiser,
@@ -147,8 +158,7 @@ def make_upsampler_eval_step(upsampler: Denoiser,
 # Reward/end model
 
 
-def make_rew_end_train_step(rew_end_model: RewEndModel, tx: optax.GradientTransformation,
-                            pmean_axis: Optional[str] = None) -> Callable:
+def make_rew_end_train_step(rew_end_model: RewEndModel, tx: optax.GradientTransformation) -> Callable:
     def loss_fn(params, batch: DeviceBatch):
         obs = obs_to_float(batch.obs)
         final_obs = obs_to_float(batch.final_obs)
@@ -157,11 +167,11 @@ def make_rew_end_train_step(rew_end_model: RewEndModel, tx: optax.GradientTransf
 
     def step(state: TrainState, batch: DeviceBatch) -> Tuple[TrainState, Dict]:
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
-        state, grad_norm = _apply_update(tx, state, grads, pmean_axis)
+        state, grad_norm = _apply_update(tx, state, grads)
         metrics["grad_norm_before_clip"] = grad_norm
         return state, metrics
 
-    return step if pmean_axis else jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,))
 
 
 # ---------------------------------------------------------------------------
@@ -169,8 +179,7 @@ def make_rew_end_train_step(rew_end_model: RewEndModel, tx: optax.GradientTransf
 
 
 def make_ac_train_step(engine: ImaginationEngine, actor_critic: ActorCritic,
-                       tx: optax.GradientTransformation, loss_cfg: ActorCriticLossConfig,
-                       pmean_axis: Optional[str] = None) -> Callable:
+                       tx: optax.GradientTransformation, loss_cfg: ActorCriticLossConfig) -> Callable:
     num_steps = loss_cfg.backup_every
 
     def loss_fn(params, d_vars, r_vars, st: ImagState, pool: ICPool, rng):
@@ -187,13 +196,13 @@ def make_ac_train_step(engine: ImaginationEngine, actor_critic: ActorCritic,
              ) -> Tuple[TrainState, ImagState, ICPool, Dict]:
         (_, (metrics, st, pool)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, d_vars, r_vars, st, pool, rng)
-        state, grad_norm = _apply_update(tx, state, grads, pmean_axis)
+        state, grad_norm = _apply_update(tx, state, grads)
         metrics["grad_norm_before_clip"] = grad_norm
         return state, st, pool, metrics
 
     # donate train state, imagination state AND the pool (its large members pass through
     # unchanged — donation lets XLA alias them instead of copying ~100MB per step)
-    return step if pmean_axis else jax.jit(step, donate_argnums=(0, 3, 4))
+    return jax.jit(step, donate_argnums=(0, 3, 4))
 
 
 # ---------------------------------------------------------------------------
@@ -202,8 +211,7 @@ def make_ac_train_step(engine: ImaginationEngine, actor_critic: ActorCritic,
 
 def make_model_free_ac_train_step(actor_critic: ActorCritic,
                                   tx: optax.GradientTransformation,
-                                  loss_cfg: ActorCriticLossConfig,
-                                  pmean_axis: Optional[str] = None) -> Callable:
+                                  loss_cfg: ActorCriticLossConfig) -> Callable:
     """RL on the real env (reference trainer.py:171-172, 330: the WM env is swapped for a
     vectorized real env and the same REINFORCE loss applies).
 
@@ -238,11 +246,11 @@ def make_model_free_ac_train_step(actor_critic: ActorCritic,
              val_bootstrap) -> Tuple[TrainState, Dict]:
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, obs_u8, act, rew, end, trunc, reset_mask, hx0, cx0, val_bootstrap)
-        state, grad_norm = _apply_update(tx, state, grads, pmean_axis)
+        state, grad_norm = _apply_update(tx, state, grads)
         metrics["grad_norm_before_clip"] = grad_norm
         return state, metrics
 
-    return step if pmean_axis else jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,))
 
 
 # ---------------------------------------------------------------------------
@@ -253,7 +261,7 @@ def make_denoiser_eval_step(denoiser: Denoiser, sigma_cfg: SigmaDistributionConf
                             downsample_factor: int = 1) -> Callable:
     @jax.jit
     def step(variables, batch: DeviceBatch, rng) -> Dict:
-        obs = downsample_avg(obs_to_float(batch.obs), downsample_factor)
+        obs = _two_stage_obs(batch.obs, downsample_factor)
         _, metrics = denoiser.loss(variables, obs, batch.act, batch.mask_padding, rng,
                                    sigma_cfg)
         return metrics
