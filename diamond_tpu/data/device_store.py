@@ -39,6 +39,11 @@ def _write_chunk(store: jnp.ndarray, vals: jnp.ndarray, idx: jnp.ndarray) -> jnp
     return store.at[idx].set(vals, mode="drop")
 
 
+def _permute_ring(obs, act, rew, end, trunc, perm):
+    """Compaction gather: ring[i] <- ring[perm[i]] for all five step arrays."""
+    return obs[perm], act[perm], rew[perm], end[perm], trunc[perm]
+
+
 def _gather_batch(obs, act, rew, end, trunc, final_obs, idx, mask, ep_idx, has_final):
     m = mask
     return DeviceBatch(
@@ -64,6 +69,7 @@ def _jitted_ops(mesh):
         if mesh is None:
             write = jax.jit(_write_chunk, donate_argnums=(0,))
             gather = jax.jit(_gather_batch)
+            permute = jax.jit(_permute_ring, donate_argnums=(0, 1, 2, 3, 4))
         else:
             from ..parallel import batch_sharding, replicated
 
@@ -72,7 +78,9 @@ def _jitted_ops(mesh):
             write = jax.jit(_write_chunk, donate_argnums=(0,),
                             out_shardings=replicated(mesh))
             gather = jax.jit(_gather_batch, out_shardings=out)
-        _JIT_CACHE[key] = (write, gather)
+            permute = jax.jit(_permute_ring, donate_argnums=(0, 1, 2, 3, 4),
+                              out_shardings=replicated(mesh))
+        _JIT_CACHE[key] = (write, gather, permute)
     return _JIT_CACHE[key]
 
 
@@ -116,7 +124,9 @@ class DeviceEpisodeStore:
         self.next_free = 0
         self._lock = threading.Lock()  # background pool builds sync concurrently
 
-        self._write, self._gather = _jitted_ops(mesh)
+        self._write, self._gather, self._permute = _jitted_ops(mesh)
+        self.waste_steps = 0        # orphaned by relocations since the last compaction
+        self.compactions = 0
 
     # -- append / sync ---------------------------------------------------------
 
@@ -152,6 +162,33 @@ class DeviceEpisodeStore:
             self.trunc = self._write(self.trunc,
                                      jnp.asarray(padded(trunc.astype(np.int32), ())), idx_d)
 
+    def _ensure_room(self, needed: int) -> None:
+        """Compact the ring if the next `needed`-step upload would overflow but orphaned
+        regions (episodes relocated by sync) hold enough reclaimable space. Compaction is
+        ONE on-device permutation gather — no host->device frame traffic (the platform
+        leaks host RAM per H2D byte, VALIDATION.md), just a capacity-sized index upload."""
+        if self.next_free + needed <= self.capacity or self.waste_steps == 0:
+            return
+        live = sorted((int(self.ep_offset[e]), e) for e in range(self.max_episodes)
+                      if self.ep_offset[e] >= 0 and self.ep_len[e] > 0)
+        perm = np.arange(self.capacity, dtype=np.int32)  # identity for the free tail
+        pos = 0
+        new_offsets = []
+        for off, e in live:
+            n = int(self.ep_len[e])
+            perm[pos:pos + n] = np.arange(off, off + n, dtype=np.int32)
+            new_offsets.append((e, pos))
+            pos += n
+        if pos < self.next_free:
+            perm_d = jnp.asarray(perm)
+            self.obs, self.act, self.rew, self.end, self.trunc = self._permute(
+                self.obs, self.act, self.rew, self.end, self.trunc, perm_d)
+            for e, off in new_offsets:
+                self.ep_offset[e] = off
+            self.next_free = pos
+            self.waste_steps = 0
+            self.compactions += 1
+
     def sync(self, dataset: Dataset) -> None:
         """Mirror new/extended episodes from the host dataset (idempotent, cheap when
         nothing changed)."""
@@ -164,20 +201,22 @@ class DeviceEpisodeStore:
                 if length == have:
                     continue
                 ep = dataset.load_episode(ep_id)
-                if self.ep_offset[ep_id] < 0:  # new episode -> tail
-                    self.ep_offset[ep_id] = self.next_free
-                    self._upload_steps(self.next_free, np.asarray(ep.obs),
-                                       np.asarray(ep.act), np.asarray(ep.rew),
-                                       np.asarray(ep.end), np.asarray(ep.trunc))
-                    self.next_free += length
-                elif self.ep_offset[ep_id] + have == self.next_free:
-                    # tail episode grew: append the suffix only
+                # worst case is a whole-episode (re)upload; compaction inside
+                # _ensure_room can re-pack the ring, so re-test the tail condition after
+                self._ensure_room(length if self.ep_offset[ep_id] < 0
+                                  or self.ep_offset[ep_id] + have != self.next_free
+                                  else length - have)
+                if self.ep_offset[ep_id] >= 0 and \
+                        self.ep_offset[ep_id] + have == self.next_free:
+                    # tail episode grew (possibly post-compaction): append the suffix only
                     self._upload_steps(self.next_free, np.asarray(ep.obs[have:]),
                                        np.asarray(ep.act[have:]), np.asarray(ep.rew[have:]),
                                        np.asarray(ep.end[have:]),
                                        np.asarray(ep.trunc[have:]))
                     self.next_free += length - have
-                else:  # non-tail episode grew: relocate (old region orphaned)
+                else:  # new episode, or non-tail grew: (re)write whole episode at the tail
+                    if self.ep_offset[ep_id] >= 0:
+                        self.waste_steps += have  # old region orphaned
                     self.ep_offset[ep_id] = self.next_free
                     self._upload_steps(self.next_free, np.asarray(ep.obs),
                                        np.asarray(ep.act), np.asarray(ep.rew),

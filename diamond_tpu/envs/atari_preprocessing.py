@@ -78,6 +78,11 @@ class AtariPreprocessing(_GymWrapper):
             _, reward, terminated, truncated, info = self.env.step(action)
             total_reward += float(reward)
             new_lives = self.ale.lives()
+            # Deliberate deviation: the reference flags ANY lives decrease as life_loss
+            # (reference src/envs/atari_preprocessing.py:76-78); we require new_lives > 0
+            # so the LAST life's loss is not double-signalled — `terminated` is set on the
+            # same step and DoneOnLifeLoss ORs the two, so downstream behavior is identical
+            # (tested: tests/test_fake_ale_stack.py life-loss protocol cases).
             life_loss = life_loss or (new_lives < self.lives and new_lives > 0)
             self.lives = new_lives
             if terminated or truncated:

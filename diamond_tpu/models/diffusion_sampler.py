@@ -72,12 +72,14 @@ class DiffusionSampler:
                                    cfg.rho)
 
     def sample(self, variables: Variables, rng: jax.Array, prev_obs: jnp.ndarray,
-               prev_act: Optional[jnp.ndarray], return_trajectory: bool = False
+               prev_act: Optional[jnp.ndarray], return_trajectory: bool = False,
+               x_init: Optional[jnp.ndarray] = None
                ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         """Sample the next frame given conditioning frames/actions.
 
         prev_obs: (B, T, H, W, C) float [-1,1]; prev_act: (B, T) int, or None for
-        action-free denoisers (the two-stage upsampler stage).
+        action-free denoisers (the two-stage upsampler stage). ``x_init`` overrides the
+        initial standard-normal latent (reproducibility / fixed-noise parity testing).
         Returns (x, trajectory). Pure function of (variables, rng); loop unrolled (static
         schedule, default 3 steps). Callers wanting no-grad semantics wrap in stop_gradient.
         """
@@ -90,7 +92,7 @@ class DiffusionSampler:
 
         rng, rng_init = jax.random.split(rng)
         gamma_ = min(cfg.s_churn / (len(self.sigmas) - 1), 2 ** 0.5 - 1)
-        x = jax.random.normal(rng_init, (b, h, w, c))
+        x = jax.random.normal(rng_init, (b, h, w, c)) if x_init is None else x_init
         trajectory = [x] if return_trajectory else []
 
         for sigma, next_sigma in zip(self.sigmas[:-1], self.sigmas[1:]):

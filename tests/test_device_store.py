@@ -126,6 +126,37 @@ def test_store_overflow_raises(tmp_path):
         store.sync(ds)
 
 
+def test_store_compaction_reclaims_orphans(tmp_path):
+    """Repeated growth of a non-tail episode orphans its old regions; once the orphaned
+    waste would overflow the ring, sync compacts on device and keeps going. The budget
+    here (cap 140 vs ~250 steps uploaded across relocations) only fits if compaction
+    works, and batches stay value-identical to the host path afterwards."""
+    rng = np.random.default_rng(7)
+    ds = Dataset(tmp_path / "ds", "ds")
+    eps = [make_ep(rng, 30, with_final=False, alive=True),
+           make_ep(rng, 20, with_final=False, alive=True)]
+    for e in eps:
+        ds.add_episode(e)
+    store = DeviceEpisodeStore(140, (H, W, 3))
+    store.sync(ds)
+
+    for _ in range(2):  # alternating growth: each sync relocates the non-tail episode
+        for ep_id in (0, 1):
+            eps[ep_id] = eps[ep_id] + make_ep(rng, 10, with_final=False, alive=True)
+            ds.add_episode(eps[ep_id], episode_id=ep_id)
+            store.sync(ds)
+
+    assert store.compactions >= 1
+    assert store.next_free <= store.capacity
+    ids = [SegmentId(0, 45, 53), SegmentId(1, 5, 13), SegmentId(0, -3, 5)]
+    assert_batches_equal(store.make_batch(ids), host_batch(ds, ids))
+
+    # a genuinely over-capacity dataset still raises after compaction can't help
+    ds.add_episode(make_ep(rng, 200))
+    with pytest.raises(AssertionError, match="overflow"):
+        store.sync(ds)
+
+
 def test_store_on_mesh_shards_batches(tmp_path):
     """With a data-parallel mesh, the ring is replicated and gathered batches come out
     sharded on the batch axis — identical values to the host path."""

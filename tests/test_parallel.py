@@ -82,13 +82,72 @@ def test_dp_denoiser_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
 
 
+def _params_allclose(p1, p2, rtol=2e-4, atol=2e-5):
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=rtol, atol=atol)
+
+
 @pytest.mark.slow
-def test_dp_rew_end_and_ac_steps_run_sharded():
+def test_dp_rew_end_step_matches_single_device():
+    """Single-device vs 8-device rew/end train step: params equal after one update
+    (reference DDP grad-equality semantics, src/utils.py:105-106). The sharded side
+    consumes a batch assembled by the on-mesh DeviceEpisodeStore, the single side the
+    equivalent host arrays — proving the store path feeds the sharded step identically."""
+    from diamond_tpu.data import Dataset, Episode, SegmentId
+    from diamond_tpu.data.device_store import DeviceEpisodeStore
+    import tempfile
+
+    mesh = make_mesh()
+    _, _, rew_end, r_vars, *_ = build_models()
+    tx = configure_opt(1e-3, 1e-2, 1e-8, 100.0, 0)
+    step = make_rew_end_train_step(rew_end, tx)
+
+    rng = np.random.default_rng(1)
+    t = 6
+    with tempfile.TemporaryDirectory() as d:
+        ds = Dataset(d, "ds")
+        for _ in range(2):
+            end = np.zeros(20, np.uint8)
+            end[-1] = 1
+            ds.add_episode(Episode(
+                obs=rng.integers(0, 255, (20, IMG, IMG, C), dtype=np.uint8),
+                act=rng.integers(0, NA, 20).astype(np.int32),
+                rew=rng.choice([-1.0, 0.0, 1.0], 20).astype(np.float32),
+                end=end, trunc=np.zeros(20, np.uint8),
+                info={"final_observation": rng.integers(0, 255, (IMG, IMG, C),
+                                                        dtype=np.uint8)}))
+        store = DeviceEpisodeStore(64, (IMG, IMG, C), mesh=mesh)
+        store.sync(ds)
+        ids = [SegmentId(i % 2, s, s + t) for i, s in
+               enumerate([0, 3, 7, 14, -2, 5, 11, 16])]
+        db_mesh = store.make_batch(ids)
+
+        from diamond_tpu.data.segment import collate_segments_to_batch
+        db_host = jax.tree_util.tree_map(
+            jnp.asarray, DeviceBatch.from_batch(
+                collate_segments_to_batch([ds[sid] for sid in ids])))
+
+    s1 = TrainState.create(jax.tree_util.tree_map(jnp.array, r_vars["params"]), tx)
+    s1, m1 = step(s1, db_host)
+
+    s2 = TrainState.create(replicate(jax.tree_util.tree_map(jnp.array, r_vars["params"]),
+                                     mesh), tx)
+    s2 = s2.replace(opt_state=replicate(s2.opt_state, mesh))
+    s2, m2 = step(s2, db_mesh)
+
+    np.testing.assert_allclose(float(m1["loss_total"]), float(m2["loss_total"]), rtol=1e-5)
+    _params_allclose(s1.params, s2.params)
+
+
+@pytest.mark.slow
+def test_dp_ac_step_matches_single_device():
+    """Single-device vs 8-device fused-imagination AC step, TWO steps with pool
+    consumption: params, pool pointer, and losses must agree — the pool-pointer
+    prefix-sum and donated buffers are exactly where sharded execution could silently
+    drift (VERDICT round-2 missing #5)."""
     mesh = make_mesh()
     denoiser, d_vars, rew_end, r_vars, ac, ac_vars = build_models()
 
-    # IC prep + replication first: device_put may alias source buffers, and the donated
-    # train-step calls below would otherwise invalidate r_vars/ac_vars.
     cfg = WorldModelEnvConfig(horizon=4, num_batches_to_preload=1,
                               diffusion_sampler=DiffusionSamplerConfig(num_steps_denoising=2))
     engine = ImaginationEngine(denoiser, rew_end, ac, cfg)
@@ -97,33 +156,40 @@ def test_dp_rew_end_and_ac_steps_run_sharded():
     obs_u8 = rng.integers(0, 255, (P, NC, IMG, IMG, C), dtype=np.uint8)
     act = rng.integers(0, NA, (P, NC)).astype(np.int32)
     hx, cx = make_ic_preparer(rew_end)(r_vars, jnp.asarray(obs_u8), jnp.asarray(act))
-    pool = ICPool(obs=jnp.asarray(obs_u8), act=jnp.asarray(act), hx=hx, cx=cx,
-                  ptr=jnp.asarray(0, jnp.int32))
-    pool = shard_pool(pool, mesh)
-    st, pool = engine.initial_state(pool, B)
-    st = shard_imag_state(st, mesh)
-    d_vars_r = replicate(jax.tree_util.tree_map(jnp.array, d_vars), mesh)
-    r_vars_r = replicate(jax.tree_util.tree_map(jnp.array, r_vars), mesh)
-
-    # rew/end step sharded
-    tx_r = configure_opt(1e-3, 1e-2, 1e-8, 100.0, 0)
-    step_r = make_rew_end_train_step(rew_end, tx_r)
-    batch = random_batch(6, seed=1)
-    sr = TrainState.create(replicate(jax.tree_util.tree_map(jnp.array, r_vars["params"]),
-                                     mesh), tx_r)
-    sr = sr.replace(opt_state=replicate(sr.opt_state, mesh))
-    db = shard_device_batch(jax.tree_util.tree_map(jnp.asarray, batch), mesh)
-    sr, mr = step_r(sr, db)
-    assert np.isfinite(float(mr["loss_total"]))
+    pool0 = ICPool(obs=jnp.asarray(obs_u8), act=jnp.asarray(act), hx=hx, cx=cx,
+                   ptr=jnp.asarray(0, jnp.int32))
+    st0, pool0 = engine.initial_state(pool0, B)
 
     loss_cfg = ActorCriticLossConfig(backup_every=4, gamma=0.985, lambda_=0.95,
                                      weight_value_loss=1.0, weight_entropy_loss=0.001)
-    tx_a = configure_opt(1e-3, 0.0, 1e-8, 100.0, 0)
-    step_a = make_ac_train_step(engine, ac, tx_a, loss_cfg)
-    sa = TrainState.create(replicate(jax.tree_util.tree_map(jnp.array, ac_vars["params"]),
-                                     mesh), tx_a)
-    sa = sa.replace(opt_state=replicate(sa.opt_state, mesh))
-    for i in range(2):
-        sa, st, pool, ma = step_a(sa, d_vars_r, r_vars_r, st, pool, jax.random.PRNGKey(i))
-    assert np.isfinite(float(ma["loss_total"]))
-    assert int(sa.step) == 2
+    tx = configure_opt(1e-3, 0.0, 1e-8, 100.0, 0)
+    step = make_ac_train_step(engine, ac, tx, loss_cfg)
+
+    def run(shard):
+        # fresh copies each run: the step donates state, imag state AND pool
+        st = jax.tree_util.tree_map(jnp.array, st0)
+        pool = jax.tree_util.tree_map(jnp.array, pool0)
+        dv = jax.tree_util.tree_map(jnp.array, d_vars)
+        rv = jax.tree_util.tree_map(jnp.array, r_vars)
+        s = TrainState.create(jax.tree_util.tree_map(jnp.array, ac_vars["params"]), tx)
+        if shard:
+            st = shard_imag_state(st, mesh)
+            pool = shard_pool(pool, mesh)
+            dv, rv = replicate(dv, mesh), replicate(rv, mesh)
+            s = TrainState.create(replicate(s.params, mesh), tx)
+            s = s.replace(opt_state=replicate(s.opt_state, mesh))
+        metrics = None
+        for i in range(2):
+            s, st, pool, metrics = step(s, dv, rv, st, pool, jax.random.PRNGKey(i))
+        return s, st, pool, metrics
+
+    s1, st1, pool1, m1 = run(shard=False)
+    s2, st2, pool2, m2 = run(shard=True)
+
+    assert int(s1.step) == int(s2.step) == 2
+    assert int(pool1.ptr) == int(pool2.ptr)  # identical IC consumption
+    np.testing.assert_allclose(float(m1["loss_total"]), float(m2["loss_total"]),
+                               rtol=1e-4, atol=1e-5)
+    _params_allclose(s1.params, s2.params)
+    np.testing.assert_allclose(np.asarray(st1.obs_buffer), np.asarray(st2.obs_buffer),
+                               rtol=2e-4, atol=2e-5)
