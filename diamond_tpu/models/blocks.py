@@ -119,18 +119,27 @@ def Conv3x3(features: int, dtype: Dtype, strides: int = 1,
 def _group_norm(x: jnp.ndarray, num_groups: int) -> jnp.ndarray:
     """Affine-free group norm over NHWC, accumulating in float32.
 
-    Single-pass statistics (E[x^2] - E[x]^2, both reductions fuse into one read of x)
-    instead of the two-pass mean-then-centered-variance — these norms sit between every pair
-    of convs and are HBM-bandwidth bound."""
+    Layout-critical formulation: statistics are computed per-CHANNEL first (reductions
+    over the sublane H/W axes with the lane dim C intact), then combined into groups on
+    the tiny (N, C) moment tensors. The naive reshape-to-(N,H,W,G,C/G) puts a C/G-wide
+    minor dim (2 for the reference's 32-channel groups) on every multi-MB activation,
+    collapsing lane utilization ~64x — profiled at 55% of the whole U-Net forward before
+    this change (VALIDATION.md round 3). Same math: E[x^2]-E[x]^2 single-pass moments."""
     orig_dtype = x.dtype
     n, h, w, c = x.shape
     g = num_groups
-    xg = x.reshape(n, h, w, g, c // g).astype(jnp.float32)
-    mean = xg.mean(axis=(1, 2, 4), keepdims=True)
-    m2 = (xg * xg).mean(axis=(1, 2, 4), keepdims=True)
-    var = m2 - mean * mean
-    xg = (xg - mean) * jax.lax.rsqrt(var + GN_EPS)
-    return xg.reshape(n, h, w, c).astype(orig_dtype)
+    gs = c // g
+    x32 = x.astype(jnp.float32)
+    s = jnp.sum(x32, axis=(1, 2))         # (N, C) — one fused pass over x for both
+    sq = jnp.sum(x32 * x32, axis=(1, 2))  # moments
+    cnt = float(h * w * gs)
+    mean_g = s.reshape(n, g, gs).sum(-1) / cnt           # (N, G)
+    var_g = sq.reshape(n, g, gs).sum(-1) / cnt - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + GN_EPS)
+    mean_c = jnp.repeat(mean_g, gs, axis=1)              # (N, C), trivial size
+    inv_c = jnp.repeat(inv_g, gs, axis=1)
+    y = (x32 - mean_c[:, None, None, :]) * inv_c[:, None, None, :]
+    return y.astype(orig_dtype)
 
 
 class GroupNorm(nn.Module):

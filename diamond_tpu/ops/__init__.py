@@ -6,12 +6,20 @@ lane-dim reshapes, in-kernel row slicing — not the platform; see fused_norms.p
 notes"). They remain opt-in (DIAMOND_TPU_PALLAS=1) until they beat the XLA paths they
 replace in the rollout benchmark.
 
-Profiling summary driving these kernels (v5e, batch 32):
-  * 3x3 conv at 64x64x64: 0.26 ms = 36.6 TFLOP/s — 73% of the C=64 MXU ceiling
-    ((64/128)^2 = 25% of peak); the same conv with C=256 reaches 114 TFLOP/s.
-  * The denoiser forward is ~70% conv time; the rest is GroupNorm/FiLM/SiLU chains.
-  * conv3x3_im2col lifts the matmul contraction dim to 9*C=576 (>128 lanes), raising the
-    ceiling from 25% to 50% of peak for the dominant 64-channel convs.
+Round-3 hardware verdict (2026-08-17, scripts/bench_conv_pallas.py — settles the round-2
+ceiling question with data):
+  * The platform toolchain improved between rounds: XLA's conv lowering now measures
+    72.2 TF/s at (32,64,64,64)x(3,3,64,64) bf16 (round 2 measured 38.9) — ABOVE the old
+    "49 TF/s half-lane ceiling" analysis, refuting it. At C=128 XLA reaches 171 TF/s.
+  * conv3x3_im2col measured on hardware: 43.7 TF/s at C=64, 165 TF/s at C=128 — it LOSES
+    to XLA at both widths, so the old "25%->50% of peak" prediction is moot: XLA's own
+    lowering already beats the predicted 50% target. The kernel stays unwired.
+  * The optimized HLO shows XLA already fuses each conv with the following GroupNorm's
+    moment reduction (kOutput "convert_reduce_fusion" = conv + sum + sum-of-squares) and
+    the normalize/FiLM/SiLU applies run at the C=64 elementwise bandwidth cap — the U-Net
+    forward is at the XLA envelope end to end (VALIDATION.md round 3).
+  * fused_norms re-measured on the new toolchain: still a net loss (1154 vs 2849 fps
+    rollout) — pallas_call boundaries break XLA's conv+stats and apply-chain fusions.
 """
 
 import os
