@@ -79,9 +79,10 @@ def Conv1x1(features: int, dtype: Dtype, use_bias: bool = True,
 
 
 class _LoweredConv3x3(nn.Module):
-    """3x3 conv with a selectable MXU-friendly lowering (ops/conv_lowering.py). Identical
-    parameter tree to nn.Conv ('kernel' HWIO + 'bias'), so checkpoints are interchangeable
-    with the default path."""
+    """3x3 conv with a selectable MXU-friendly lowering (ops/conv_lowering.py) and the
+    int8 rollout-inference path (ops/quant.py — taken when tracing inside a
+    DiffusionSampler int8 scope). Identical parameter tree to nn.Conv ('kernel' HWIO +
+    'bias'), so checkpoints are interchangeable with the default path."""
 
     features: int
     dtype: Dtype
@@ -91,13 +92,17 @@ class _LoweredConv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops import quant
         from ..ops.conv_lowering import conv3x3_lowered
 
         c_in = x.shape[-1]
         w = self.param("kernel", self.kernel_init, (3, 3, c_in, self.features), jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        y = conv3x3_lowered(x.astype(self.dtype), w.astype(self.dtype), self.strides,
-                            self.mode)
+        if quant.active():
+            y = quant.conv3x3_q8(x, w, self.strides).astype(self.dtype)
+        else:
+            y = conv3x3_lowered(x.astype(self.dtype), w.astype(self.dtype), self.strides,
+                                self.mode)
         return y + b.astype(self.dtype)
 
 
@@ -105,11 +110,7 @@ def Conv3x3(features: int, dtype: Dtype, strides: int = 1,
             kernel_init=torch_conv_kernel_init, name: Optional[str] = None) -> nn.Module:
     from ..ops.conv_lowering import CONV_MODE
 
-    if CONV_MODE != "xla":
-        return _LoweredConv3x3(features, dtype, strides, kernel_init, CONV_MODE, name=name)
-    return nn.Conv(features, (3, 3), strides=(strides, strides), padding=((1, 1), (1, 1)),
-                   dtype=dtype, kernel_init=kernel_init, bias_init=nn.initializers.zeros,
-                   name=name)
+    return _LoweredConv3x3(features, dtype, strides, kernel_init, CONV_MODE, name=name)
 
 
 # ---------------------------------------------------------------------------

@@ -83,9 +83,21 @@ class DiffusionSampler:
         Returns (x, trajectory). Pure function of (variables, rng); loop unrolled (static
         schedule, default 3 steps). Callers wanting no-grad semantics wrap in stop_gradient.
         """
+        from ..ops import quant
+
         cfg = self.cfg
         b, t, h, w, c = prev_obs.shape
         prev_obs = jnp.moveaxis(prev_obs, 1, 3).reshape(b, h, w, t * c)
+        with quant.int8_rollout_scope(quant.default_enabled()):
+            return self._sample_inner(variables, rng, prev_obs, prev_act,
+                                      return_trajectory, x_init, b, h, w, c)
+
+    def _sample_inner(self, variables, rng, prev_obs, prev_act, return_trajectory,
+                      x_init, b, h, w, c):
+        """Body of sample(); traced inside the int8 scope so the denoiser's convs take the
+        quantized MXU path when tpu.int8_rollout is on (sampling is stop-gradient
+        inference — training losses never enter this scope)."""
+        cfg = self.cfg
         # conv_in's conditioning contribution is sigma-independent: compute once, share
         # across every denoise of the loop (saves ~12/15 of conv_in per extra sigma step)
         obs_features = self.denoiser.compute_obs_features(variables, prev_obs)

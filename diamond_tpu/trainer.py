@@ -69,6 +69,11 @@ class Trainer:
             if self._has_upsampler else 1
         dtype_name = cfg.get("tpu", {}).get("compute_dtype", "float32")
         self._compute_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+        if bool(cfg.get("tpu", {}).get("int8_rollout", False)):
+            from .ops import quant
+
+            quant.set_default(True)  # sampler-scope int8 convs (ops/quant.py)
+            print("int8 rollout inference enabled (tpu.int8_rollout)")
 
         # Data parallelism: a `data` mesh axis over all local devices (parallel/mesh.py).
         # Replaces the reference's mp.spawn + DDP/NCCL (reference main.py:26-44). Falls back

@@ -123,3 +123,73 @@ print("OK")
     a = np.load("/tmp/pallas_equiv_0.npy")
     b = np.load("/tmp/pallas_equiv_1.npy")
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# int8 rollout inference (ops/quant.py)
+
+
+def test_conv3x3_q8_approximates_f32_conv():
+    from diamond_tpu.ops.quant import conv3x3_q8
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(3, 3, 16, 8)) * 0.1).astype(np.float32))
+    y_ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y_q = conv3x3_q8(x, w)
+    # per-tensor act + per-channel weight symmetric int8: relative error ~1%
+    err = float(jnp.abs(y_q - y_ref).max())
+    scale = float(jnp.abs(y_ref).max())
+    assert err <= 0.03 * scale, (err, scale)
+    # strided variant (Downsample path)
+    y_ref2 = jax.lax.conv_general_dilated(
+        x, w, (2, 2), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y_q2 = conv3x3_q8(x, w, strides=2)
+    assert float(jnp.abs(y_q2 - y_ref2).max()) <= 0.03 * scale
+
+
+def test_int8_scope_confines_quantization_to_sampler():
+    """With the int8 default ON, DiffusionSampler.sample quantizes (output differs from
+    the f32 sample but stays frame-close), while Denoiser.loss traced OUTSIDE the scope
+    is bit-identical to the unquantized loss."""
+    from diamond_tpu.models import (Denoiser, DenoiserConfig, DiffusionSampler,
+                                    DiffusionSamplerConfig, InnerModelConfig,
+                                    SigmaDistributionConfig)
+    from diamond_tpu.ops import quant
+
+    den = Denoiser(DenoiserConfig(
+        inner_model=InnerModelConfig(img_channels=3, num_steps_conditioning=2,
+                                     cond_channels=16, depths=[1], channels=[16],
+                                     attn_depths=[0], num_actions=3),
+        sigma_data=0.5, sigma_offset_noise=0.3))
+    v = den.init(jax.random.PRNGKey(0), img_size=8)
+    sampler = DiffusionSampler(den, DiffusionSamplerConfig(num_steps_denoising=2))
+
+    rng = np.random.default_rng(6)
+    prev_obs = jnp.asarray(rng.uniform(-1, 1, (2, 2, 8, 8, 3)).astype(np.float32))
+    act = jnp.asarray(rng.integers(0, 3, (2, 2)).astype(np.int32))
+    x_init = jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype(np.float32))
+
+    x_f32, _ = sampler.sample(v, jax.random.PRNGKey(1), prev_obs, act, x_init=x_init)
+
+    sig = SigmaDistributionConfig(-0.4, 1.2, 2e-3, 20.0)
+    bobs = jnp.asarray(rng.uniform(-1, 1, (2, 4, 8, 8, 3)).astype(np.float32))
+    bact = jnp.asarray(rng.integers(0, 3, (2, 4)).astype(np.int32))
+    bmask = jnp.ones((2, 4), bool)
+    loss_f32, _ = den.loss(v, bobs, bact, bmask, jax.random.PRNGKey(2), sig)
+
+    quant.set_default(True)
+    try:
+        x_q8, _ = sampler.sample(v, jax.random.PRNGKey(1), prev_obs, act, x_init=x_init)
+        loss_q8, _ = den.loss(v, bobs, bact, bmask, jax.random.PRNGKey(2), sig)
+    finally:
+        quant.set_default(False)
+
+    assert np.array_equal(np.asarray(loss_f32), np.asarray(loss_q8)), \
+        "training loss must never be quantized"
+    assert np.all(np.isfinite(np.asarray(x_q8)))
+    # both land on the uint8 grid; quantized sampling should stay within a few grid steps
+    diff = np.abs(np.asarray(x_q8) - np.asarray(x_f32))
+    assert diff.max() <= 32 / 255 * 2, diff.max()
+    assert np.mean(diff <= 6 / 255 * 2) >= 0.95, np.mean(diff <= 6 / 255 * 2)
