@@ -91,12 +91,34 @@ def main() -> None:
         agent.variables["rew_end_model"], jnp.asarray(obs_u8), jnp.asarray(act))
     pool = ICPool(obs=jnp.asarray(obs_u8), act=jnp.asarray(act), hx=hx, cx=cx,
                   ptr=jnp.asarray(0, jnp.int32))
+    ac_vars = agent.variables["actor_critic"]
+    if os.environ.get("DIAMOND_TPU_POOL_FEATS", "0") == "1":
+        # production option tpu.pool_policy_feats: precomputed policy features replace the
+        # rollout's per-step batched context encode (envs/world_model_env.py ICPool.feats)
+        _note("pool_feats_precompute")
+        from diamond_tpu.data.episode import obs_to_float
+
+        @jax.jit
+        def feats_chunk(obs_c):
+            flat = obs_to_float(obs_c.reshape((-1,) + obs_c.shape[2:]))
+            return agent.actor_critic.encode(ac_vars, flat).reshape(
+                obs_c.shape[0], obs_c.shape[1], -1)
+
+        feats = jnp.concatenate([feats_chunk(pool.obs[i:i + 512])
+                                 for i in range(0, pool_n, 512)])
+        pool = pool.replace(feats=feats)
     st, pool = engine.initial_state(pool, BATCH)
 
     rollout = jax.jit(engine.rollout, static_argnums=(6,), donate_argnums=(3, 4))
-    ac_vars = agent.variables["actor_critic"]
     d_vars = agent.variables["denoiser"]
     r_vars = agent.variables["rew_end_model"]
+
+    if os.environ.get("DIAMOND_TPU_INT8", "0") == "1":
+        # static int8 rollout path: one eager observe pass yields the "quant" collection
+        # of per-conv activation scales (models/diffusion_sampler.py calibrate)
+        _note("int8_calibration")
+        d_vars = engine.sampler.calibrate(
+            d_vars, jax.random.PRNGKey(3), st.obs_buffer, st.act_buffer)
 
     def run(key, st, pool):
         traj, st, pool = rollout(ac_vars, d_vars, r_vars, st, pool, key, HORIZON)

@@ -64,6 +64,14 @@ class ICPool(struct.PyTreeNode):
     hx: jnp.ndarray    # (P, D) float32
     cx: jnp.ndarray    # (P, D) float32
     ptr: jnp.ndarray   # () int32 — next unconsumed entry
+    # Optional (tpu.pool_policy_feats): policy-trunk features of the conditioning frames,
+    # (P, n_cond, F), precomputed at pool build. Saves the per-step batched context encode
+    # in the rollout (~0.5 ms/step at full size) at the cost of the reference's exact
+    # burn-in semantics: dead-env burn-in features are computed with the policy weights of
+    # the pool build (each entry is consumed once, so staleness is at most one pool
+    # lifetime) and contribute no encoder gradients. Capability-gated in tests + the
+    # fake-env schedule run.
+    feats: Optional[jnp.ndarray] = None
 
     @property
     def size(self) -> int:
@@ -157,8 +165,10 @@ class ImaginationEngine:
         return st, next_obs, rew, end, trunc
 
     def _reset_dead(self, st: ImagState, pool: ICPool, dead: jnp.ndarray
-                    ) -> Tuple[ImagState, ICPool]:
-        """Masked pool pull for dead envs (reference world_model_env.py:56-62)."""
+                    ) -> Tuple[ImagState, ICPool, jnp.ndarray]:
+        """Masked pool pull for dead envs (reference world_model_env.py:56-62).
+        Also returns the per-env pool indices (0 where alive) so callers can gather
+        auxiliary pool columns (e.g. precomputed policy features)."""
         dead_i = dead.astype(jnp.int32)
         before = jnp.cumsum(dead_i) - dead_i  # exclusive prefix count of deaths
         idx = jnp.where(dead, (pool.ptr + before) % pool.size, 0)
@@ -178,7 +188,7 @@ class ImaginationEngine:
             ep_len=jnp.where(dead, 0, st.ep_len),
         )
         pool = pool.replace(ptr=pool.ptr + dead_i.sum())
-        return st, pool
+        return st, pool, idx
 
     # -- fused rollout for AC training ---------------------------------------
 
@@ -240,13 +250,18 @@ class ImaginationEngine:
             val_final = jax.lax.stop_gradient(head(ac_vars, feat_next, out.carry).val)
 
             st2 = st2.replace(ac_hx=out.carry[0], ac_cx=out.carry[1])
-            st2, pool_t = self._reset_dead(st2, pool_t, dead)
+            st2, pool_t, ic_idx = self._reset_dead(st2, pool_t, dead)
 
             # policy-LSTM reset + burn-in on the new context frames, WITH grad
             # (reference env_loop.py:50-56): one batched encode of the post-reset buffer,
             # LSTM replay over the first n_cond-1 frames from a zero state; computed for
-            # all envs, applied to dead ones.
-            feats_ic = encode_context(st2.obs_buffer)  # (B, n_cond, F)
+            # all envs, applied to dead ones. With tpu.pool_policy_feats the features
+            # were precomputed at pool build (see ICPool.feats) — a cheap gather replaces
+            # the batched encode.
+            if pool.feats is not None:
+                feats_ic = jnp.take(pool.feats, ic_idx, axis=0)  # (B, n_cond, F)
+            else:
+                feats_ic = encode_context(st2.obs_buffer)  # (B, n_cond, F)
 
             def burn(carry, f_t):
                 o = head(ac_vars, f_t, carry)
@@ -310,7 +325,8 @@ class PoolManager:
     synchronous wait (0 when the background build won the race)."""
 
     def __init__(self, engine: ImaginationEngine, dataset, sampler, pool_size: int,
-                 chunk: int = 1024, background: bool = True, store=None) -> None:
+                 chunk: int = 1024, background: bool = True, store=None,
+                 policy_feats: bool = False) -> None:
         self.engine = engine
         self.dataset = dataset
         self.sampler = sampler  # BatchSampler with batch_size == chunk, seq_length == n_cond
@@ -318,15 +334,26 @@ class PoolManager:
         self.chunk = chunk
         self.background = background
         self.store = store  # DeviceEpisodeStore: device-side gather instead of host staging
+        self.policy_feats = policy_feats  # precompute ICPool.feats (tpu.pool_policy_feats)
         self.last_refill_wait_s = 0.0
         self._prepare = make_ic_preparer(engine.rew_end_model)
+        self._encode_feats = jax.jit(self._feats_fn)
         self._pending: Optional[threading.Thread] = None
         self._next_pool: Optional[ICPool] = None
         self._pending_error: Optional[BaseException] = None
 
-    def build_pool(self, r_vars: Variables) -> ICPool:
-        """Synchronous full build (burn-in uses the given reward/end weights)."""
-        obs_list, act_list, hx_list, cx_list = [], [], [], []
+    def _feats_fn(self, ac_vars: Variables, obs_u8: jnp.ndarray) -> jnp.ndarray:
+        """Policy-trunk features of every conditioning frame: (n, n_cond, H, W, C) uint8
+        -> (n, n_cond, F)."""
+        n, t = obs_u8.shape[:2]
+        flat = obs_to_float(obs_u8.reshape((n * t,) + obs_u8.shape[2:]))
+        return self.engine.actor_critic.encode(ac_vars, flat).reshape(n, t, -1)
+
+    def build_pool(self, r_vars: Variables, ac_vars: Optional[Variables] = None) -> ICPool:
+        """Synchronous full build (burn-in uses the given reward/end weights; with
+        policy_feats also the given policy weights — captured at build time, exactly like
+        the reference's preloading generator captures its models)."""
+        obs_list, act_list, hx_list, cx_list, f_list = [], [], [], [], []
         remaining = self.pool_size
         while remaining > 0:
             n = min(self.chunk, remaining)
@@ -342,6 +369,9 @@ class PoolManager:
             act_list.append(act)
             hx_list.append(hx)
             cx_list.append(cx)
+            if self.policy_feats:
+                assert ac_vars is not None, "policy_feats build needs actor-critic weights"
+                f_list.append(self._encode_feats(ac_vars, obs))
             remaining -= n
         return ICPool(
             obs=jnp.concatenate(obs_list),
@@ -349,9 +379,10 @@ class PoolManager:
             hx=jnp.concatenate(hx_list),
             cx=jnp.concatenate(cx_list),
             ptr=jnp.asarray(0, jnp.int32),
+            feats=jnp.concatenate(f_list) if f_list else None,
         )
 
-    def _kick(self, r_vars: Variables) -> None:
+    def _kick(self, r_vars: Variables, ac_vars: Optional[Variables] = None) -> None:
         """Start building the next pool in the background (weights captured now, exactly
         like the reference preloading at reset time)."""
         if not self.background:
@@ -359,7 +390,7 @@ class PoolManager:
 
         def work() -> None:
             try:
-                self._next_pool = self.build_pool(r_vars)
+                self._next_pool = self.build_pool(r_vars, ac_vars)
             except BaseException as e:  # surfaced on the next ensure(); never swallowed
                 self._pending_error = e
 
@@ -377,12 +408,12 @@ class PoolManager:
                 self._pending, self._next_pool = None, None
                 raise RuntimeError("background IC-pool build failed") from e
 
-    def ensure(self, pool: Optional[ICPool], r_vars: Variables,
-               max_consumption: int) -> Tuple[Optional[ICPool], bool]:
+    def ensure(self, pool: Optional[ICPool], r_vars: Variables, max_consumption: int,
+               ac_vars: Optional[Variables] = None) -> Tuple[Optional[ICPool], bool]:
         """Return (pool, swapped): a pool with enough unconsumed entries for one step."""
         if pool is None:
-            pool = self.build_pool(r_vars)
-            self._kick(r_vars)
+            pool = self.build_pool(r_vars, ac_vars)
+            self._kick(r_vars, ac_vars)
             return pool, True
         if not self.needs_refill(pool, max_consumption):
             return pool, False
@@ -392,11 +423,11 @@ class PoolManager:
             pool = self._next_pool
             self._pending, self._next_pool = None, None
             if pool is None:  # no background mode or a cleared failure: rebuild inline
-                pool = self.build_pool(r_vars)
+                pool = self.build_pool(r_vars, ac_vars)
         else:
-            pool = self.build_pool(r_vars)
+            pool = self.build_pool(r_vars, ac_vars)
         self.last_refill_wait_s = time.perf_counter() - t0
-        self._kick(r_vars)
+        self._kick(r_vars, ac_vars)
         return pool, True
 
     def needs_refill(self, pool: ICPool, max_consumption: int) -> bool:

@@ -99,7 +99,26 @@ class _LoweredConv3x3(nn.Module):
         w = self.param("kernel", self.kernel_init, (3, 3, c_in, self.features), jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         if quant.active():
-            y = quant.conv3x3_q8(x, w, self.strides).astype(self.dtype)
+            # int8 rollout (sampler scope only, ops/quant.py). Static calibrated
+            # per-input-channel activation scales: the quantize is a constant elementwise
+            # op XLA fuses into the producing norm chain, and the scales fold into the
+            # weight quantization — no dynamic max-reduce pass (the dynamic per-tensor
+            # variant measured as a wash, and a fused Pallas quantizing-norm measured 2x
+            # slower by breaking producer fusion; VALIDATION.md round 3). Scales live in
+            # the "quant" variables collection, written by an EAGER observe pass
+            # (DiffusionSampler.calibrate) — so they are step-time inputs, not trace
+            # constants, and recalibration never retraces the rollout.
+            if quant.calibrating():
+                quant.record(self.path,
+                             jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(0, 1, 2)))
+                y = conv3x3_lowered(x.astype(self.dtype), w.astype(self.dtype),
+                                    self.strides, self.mode)
+            else:
+                assert self.has_variable("quant", "act_scale"), \
+                    "int8 rollout needs calibration (DiffusionSampler.calibrate)"
+                act_max = self.get_variable("quant", "act_scale")
+                y = quant.conv3x3_q8_static(x, w, act_max, self.strides) \
+                    .astype(self.dtype)
         else:
             y = conv3x3_lowered(x.astype(self.dtype), w.astype(self.dtype), self.strides,
                                 self.mode)

@@ -88,7 +88,12 @@ class DiffusionSampler:
         cfg = self.cfg
         b, t, h, w, c = prev_obs.shape
         prev_obs = jnp.moveaxis(prev_obs, 1, 3).reshape(b, h, w, t * c)
-        with quant.int8_rollout_scope(quant.default_enabled()):
+        # int8 needs calibrated static activation scales (the "quant" collection,
+        # see calibrate()); uncalibrated variables run the bf16 path even when the
+        # switch is on. During a calibration pass the scope stays active so the convs
+        # observe (ops/quant.py calibrating()).
+        enabled = quant.calibrating() or (quant.default_enabled() and "quant" in variables)
+        with quant.int8_rollout_scope(enabled):
             return self._sample_inner(variables, rng, prev_obs, prev_act,
                                       return_trajectory, x_init, b, h, w, c)
 
@@ -132,6 +137,24 @@ class DiffusionSampler:
             if return_trajectory:
                 trajectory.append(x)
         return x, trajectory
+
+    def calibrate(self, variables: Variables, rng: jax.Array, prev_obs: jnp.ndarray,
+                  prev_act: Optional[jnp.ndarray]) -> Variables:
+        """Observe per-conv activation ranges for the static int8 rollout path and return
+        ``variables`` augmented with the "quant" collection (ops/quant.py).
+
+        Runs ONE full sampling pass EAGERLY (not jitted): each Conv3x3 records concrete
+        per-input-channel |x| maxima into a registry keyed by module path. Eager cost is
+        a few seconds once per denoiser update (epoch); the payoff is that the scales are
+        regular step-time inputs — recalibration never retraces the jitted rollout.
+        Call with representative conditioning frames (e.g. a pool batch)."""
+        from ..ops import quant
+
+        registry: dict = {}
+        with quant.calibration_scope(registry):
+            self.sample(variables, rng, prev_obs, prev_act)
+        assert registry, "calibration saw no conv sites"
+        return quant.with_calibration(variables, registry)
 
 
 class TwoStageSampler:

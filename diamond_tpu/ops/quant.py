@@ -8,12 +8,24 @@ int8 peak is ~2x bf16; the realistic quantize→int8-conv→rescale path measure
 hot shapes (scripts/bench_conv_int8.py: 0.089 vs 0.123 ms at 64→64@64², 0.164 vs 0.227 at
 128→64@64²).
 
-Scheme: per-output-channel symmetric weight scales (weights are jit-time constants, so the
-quantization folds into the graph once), dynamic per-tensor symmetric activation scale
-(one fused max-reduce over the activation — XLA fuses it into the producing elementwise
-chain), int32 accumulation, single f32 rescale. Training paths never see this: the context
-is only entered inside DiffusionSampler.sample / the play-time stateful env, so the
-denoiser/upsampler LOSSES (and every other model) stay bf16/f32 exactly as before.
+PRODUCTION SCHEME (the one that banks the win end-to-end, +16% rollout fps): STATIC
+calibrated per-INPUT-channel activation scales (conv3x3_q8_static). The scales come from
+an eager observe pass (DiffusionSampler.calibrate → record()/calibration_scope) and live
+in the "quant" variables collection, so (a) the activation quantize is a constant
+elementwise op XLA fuses into the producing norm/SiLU chain — zero extra HBM passes —
+and (b) the per-channel scales FOLD INTO the weight quantization, so accuracy tolerates
+1000x per-channel range spread. Two measured dead ends kept for the record
+(VALIDATION.md round 3): DYNAMIC per-tensor scales (conv3x3_q8 below) are a wash — the
+activation max-reduce + requantize cost two extra HBM passes per conv, eating the MXU
+win; a fused Pallas normalize+SiLU+quantize kernel (ops/fused_q8.py) is 2x WORSE — the
+kernel boundary breaks XLA's conv+stats producer fusion.
+
+Weights use per-output-channel symmetric scales (f32 masters are jit inputs; the fold +
+round is hoisted out of the rollout scan by XLA's loop-invariant code motion). int32
+accumulation, single f32 rescale. Training paths never see any of this: the scope is
+only entered inside DiffusionSampler.sample, so the denoiser/upsampler LOSSES (and every
+other model) stay bf16/f32 exactly as before, and uncalibrated variables (no "quant"
+collection) run the bf16 path even when the switch is on.
 
 Enable with DIAMOND_TPU_INT8=1 (benchmark A/B) or config tpu.int8_rollout=True.
 """
@@ -57,6 +69,86 @@ def int8_rollout_scope(enabled: bool):
         yield
     finally:
         _ACTIVE.reset(tok)
+
+
+_CALIBRATING = contextvars.ContextVar("diamond_tpu_int8_calibrating", default=None)
+
+
+def calibrating() -> bool:
+    """True while running an (eager) calibration pass: convs observe per-input-channel
+    activation maxima into the active registry instead of quantizing."""
+    return _CALIBRATING.get() is not None
+
+
+@contextlib.contextmanager
+def calibration_scope(registry: dict):
+    """Run eagerly (NOT under jit): convs call record() with concrete arrays."""
+    tok = _CALIBRATING.set(registry)
+    try:
+        yield
+    finally:
+        _CALIBRATING.reset(tok)
+
+
+def record(path, act_max) -> None:
+    """Max-merge one conv site's observed per-input-channel |x| maxima into the registry.
+    ``path``: the module path tuple (relative to the apply root)."""
+    reg = _CALIBRATING.get()
+    key = tuple(path)
+    prev = reg.get(key)
+    reg[key] = act_max if prev is None else jnp.maximum(prev, act_max)
+
+
+def registry_to_collection(registry: dict) -> dict:
+    """Nest {path_tuple: act_max} into a variables collection: the "quant" twin of the
+    params tree, one ``act_scale`` leaf per calibrated conv."""
+    out: dict = {}
+    for path, v in registry.items():
+        node = out
+        for name in path:
+            node = node.setdefault(name, {})
+        node["act_scale"] = v
+    return out
+
+
+def with_calibration(variables, registry: dict):
+    """Return ``variables`` with the "quant" collection replaced from ``registry``."""
+    d = dict(variables)
+    d["quant"] = registry_to_collection(registry)
+    return d
+
+
+# Calibration records the exact observed max; give the runtime distribution a little
+# room to drift between recalibrations (the denoiser trains between AC phases).
+ACT_SCALE_HEADROOM = 1.05
+
+
+def conv3x3_q8_static(x: jnp.ndarray, w: jnp.ndarray, act_max: jnp.ndarray,
+                      strides: int = 1) -> jnp.ndarray:
+    """3x3 SAME conv on the int8 MXU with STATIC per-input-channel activation scales.
+
+    The production int8 path: ``act_max`` (per-input-channel |x| maxima from a
+    calibration pass) is a trace-time-constant-shaped vector, so the activation quantize
+    is a plain elementwise op that XLA fuses into the producing norm/SiLU chain — no
+    dynamic max-reduce pass (which measured away the whole int8 win, VALIDATION.md
+    round 3). The channel scales fold into the weights: conv(x, w) = conv(x/s * s, w)
+    = conv(xq, s_c*w), then per-output-channel symmetric weight quantization.
+
+    x: (B, H, W, Cin); w: (3, 3, Cin, Cout) f32; act_max: (Cin,) f32 from calibration.
+    Returns f32 (caller adds bias).
+    """
+    s_c = jnp.maximum(act_max.astype(jnp.float32), 1e-8) * ACT_SCALE_HEADROOM / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_c), -127, 127).astype(jnp.int8)
+
+    wf = w.astype(jnp.float32) * s_c[None, None, :, None]  # fold act scales into weights
+    sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)), 1e-8) / 127.0  # (Cout,)
+    wq = jnp.clip(jnp.round(wf / sw), -127, 127).astype(jnp.int8)
+
+    y = jax.lax.conv_general_dilated(
+        xq, wq, (strides, strides), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * sw
 
 
 def conv3x3_q8(x: jnp.ndarray, w: jnp.ndarray, strides: int = 1) -> jnp.ndarray:

@@ -75,4 +75,5 @@ def shard_pool(pool: Any, mesh: Mesh) -> Any:
         hx=jax.device_put(pool.hx, b),
         cx=jax.device_put(pool.cx, b),
         ptr=jax.device_put(pool.ptr, r),
+        feats=None if pool.feats is None else jax.device_put(pool.feats, b),
     )

@@ -69,7 +69,10 @@ class Trainer:
             if self._has_upsampler else 1
         dtype_name = cfg.get("tpu", {}).get("compute_dtype", "float32")
         self._compute_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
-        if bool(cfg.get("tpu", {}).get("int8_rollout", False)):
+        self._int8_rollout = bool(cfg.get("tpu", {}).get("int8_rollout", False))
+        self._quant_coll = None   # calibrated "quant" collection (static act scales)
+        self._quant_step = -1     # denoiser train-state step it was calibrated at
+        if self._int8_rollout:
             from .ops import quant
 
             quant.set_default(True)  # sampler-scope int8 convs (ops/quant.py)
@@ -292,6 +295,26 @@ class Trainer:
     def _r_variables(self) -> Any:
         return {"params": self.train_states["rew_end_model"].params}
 
+    def _wm_infer_variables(self) -> Any:
+        """Denoiser variables for stop-gradient imagination inference. With
+        tpu.int8_rollout, augmented with the "quant" collection of static activation
+        scales — recalibrated (one eager observe pass, models/diffusion_sampler.py
+        calibrate) whenever the denoiser has trained since the last calibration, using
+        the live imagination buffers as representative conditioning."""
+        d_vars = self._d_variables()
+        if not self._int8_rollout:
+            return d_vars
+        step = int(self.train_states["denoiser"].step)
+        if self._quant_coll is None or step != self._quant_step:
+            st = self._imag_state
+            t0 = time.perf_counter()
+            cal = self.engine.sampler.calibrate(d_vars, self._next_key(),
+                                                st.obs_buffer, st.act_buffer)
+            self._quant_coll, self._quant_step = cal["quant"], step
+            print(f"int8 recalibrated at denoiser step {step} "
+                  f"({time.perf_counter() - t0:.1f}s)")
+        return dict(d_vars, quant=self._quant_coll)
+
     def _u_variables(self) -> Any:
         v = {"params": self.train_states["upsampler"].params}
         if self._upsampler_constants:
@@ -352,12 +375,14 @@ class Trainer:
             sampler = BatchSampler(self.train_dataset, 0, 1, chunk, n_cond, weights,
                                    seed=int(self._np_rng.integers(0, 2 ** 31 - 1)))
             pool_size = self._wm_env_cfg.num_batches_to_preload * c.batch_size
-            self._pool_manager = PoolManager(self.engine, self.train_dataset, sampler,
-                                             pool_size, chunk=chunk,
-                                             store=self._device_store)
+            self._pool_manager = PoolManager(
+                self.engine, self.train_dataset, sampler, pool_size, chunk=chunk,
+                store=self._device_store,
+                policy_feats=bool(cfg.get("tpu", {}).get("pool_policy_feats", False)))
         max_consumption = self._loss_cfg.backup_every * c.batch_size + c.batch_size
         self._pool, swapped = self._pool_manager.ensure(self._pool, self._r_variables(),
-                                                        max_consumption)
+                                                        max_consumption,
+                                                        ac_vars=self._ac_variables())
         if swapped and self._mesh is not None:
             from .parallel import shard_pool
 
@@ -561,8 +586,8 @@ class Trainer:
                 self._ensure_imagination()
                 state = self.train_states[name]
                 state, self._imag_state, self._pool, metrics = self._ac_step(
-                    state, self._d_variables(), self._r_variables(), self._imag_state,
-                    self._pool, self._next_key())
+                    state, self._wm_infer_variables(), self._r_variables(),
+                    self._imag_state, self._pool, self._next_key())
                 self.train_states[name] = state
                 metrics = dict(metrics,
                                pool_refill_wait_s=self._pool_manager.last_refill_wait_s)

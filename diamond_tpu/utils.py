@@ -109,7 +109,14 @@ def get_path_agent_ckpt(path_ckpt_dir: Union[str, Path], epoch: int, num_zeros: 
             if legacy.is_file():
                 return legacy
         return p
-    all_ = sorted(d.iterdir())
+    # one path per epoch, preferring .npz: a run that crossed the pt->npz format change can
+    # hold both formats of the same epoch, and raw name order would let "latest" land on an
+    # older-format duplicate of a non-newest epoch (advisor round 2)
+    by_epoch: dict = {}
+    for p in sorted(d.iterdir()):
+        if p.suffix == ".npz" or p.stem not in by_epoch:
+            by_epoch[p.stem] = p
+    all_ = [by_epoch[k] for k in sorted(by_epoch)]
     assert len(all_) >= -epoch
     return all_[epoch]
 

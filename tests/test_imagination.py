@@ -157,7 +157,7 @@ def test_pool_manager_background_failure_surfaces(setup):
     mgr = PoolManager(engine, None, None, pool_size=8, chunk=8, background=True)
     calls = {"n": 0}
 
-    def fake_build(rv):  # succeed once (foreground), raise in the background build
+    def fake_build(rv, ac_vars=None):  # succeed once (foreground), raise in background
         calls["n"] += 1
         if calls["n"] > 1:
             raise RuntimeError("boom")
@@ -172,6 +172,72 @@ def test_pool_manager_background_failure_surfaces(setup):
     # wait_pending with nothing pending is a no-op
     mgr._pending = None
     mgr.wait_pending()
+
+
+def test_pool_policy_feats_matches_encode_path(setup):
+    """With ICPool.feats precomputed from the SAME policy weights, the rollout must produce
+    the same trajectory as the per-step batched-encode path (the gather replaces an encode
+    of identical frames — value-exact; only gradients/staleness differ, by design)."""
+    engine, d_vars, r_vars, ac_vars = setup
+    pool = make_pool(engine, r_vars)
+
+    # precompute feats exactly as PoolManager._feats_fn does
+    from diamond_tpu.data.episode import obs_to_float
+    n, t = pool.obs.shape[:2]
+    flat = obs_to_float(pool.obs.reshape((n * t,) + pool.obs.shape[2:]))
+    feats = engine.actor_critic.encode(ac_vars, flat).reshape(n, t, -1)
+    pool_f = pool.replace(feats=feats)
+
+    st, pool_c = engine.initial_state(pool, B)
+    st_f, pool_fc = engine.initial_state(pool_f, B)
+
+    f = jax.jit(engine.rollout, static_argnums=(6,))
+    T = 12  # > horizon so deaths occur and the feats path is actually exercised
+    t1, st1, p1 = f(ac_vars, d_vars, r_vars, st, pool_c, jax.random.PRNGKey(5), T)
+    t2, st2, p2 = f(ac_vars, d_vars, r_vars, st_f, pool_fc, jax.random.PRNGKey(5), T)
+
+    assert int(np.asarray(t1["dead"]).sum()) > 0, "need deaths to exercise the gather"
+    assert int(p1.ptr) == int(p2.ptr)
+    for k in ("act", "rew", "end", "logits_act", "val", "val_bootstrap"):
+        np.testing.assert_allclose(np.asarray(t1[k]), np.asarray(t2[k]), atol=1e-4,
+                                   err_msg=k)
+    np.testing.assert_allclose(np.asarray(st1.ac_hx), np.asarray(st2.ac_hx), atol=1e-4)
+
+
+def test_pool_manager_builds_feats(setup):
+    """PoolManager(policy_feats=True) fills ICPool.feats with the policy-trunk features of
+    the pool's conditioning frames."""
+    from diamond_tpu.data.episode import obs_to_float
+
+    engine, d_vars, r_vars, ac_vars = setup
+
+    class _FakeSampler:
+        def __init__(self):
+            self._rng = np.random.default_rng(3)
+
+        def sample(self):
+            return list(range(8))
+
+    class _FakeDataset(dict):
+        pass
+
+    rng = np.random.default_rng(4)
+
+    class _Seg:
+        def __init__(self):
+            self.obs = rng.integers(0, 255, (NC, IMG, IMG, C), dtype=np.uint8)
+            self.act = rng.integers(0, NA, (NC,)).astype(np.int64)
+
+    ds = _FakeDataset({i: _Seg() for i in range(8)})
+    mgr = PoolManager(engine, ds, _FakeSampler(), pool_size=8, chunk=8, background=False,
+                      policy_feats=True)
+    pool = mgr.build_pool(r_vars, ac_vars)
+    assert pool.feats is not None and pool.feats.shape[:2] == (8, NC)
+    want = engine.actor_critic.encode(
+        ac_vars, obs_to_float(pool.obs.reshape((8 * NC, IMG, IMG, C)))).reshape(8, NC, -1)
+    np.testing.assert_allclose(np.asarray(pool.feats), np.asarray(want), atol=1e-5)
+    with pytest.raises(AssertionError, match="policy_feats"):
+        mgr.build_pool(r_vars, None)
 
 
 @pytest.mark.slow

@@ -164,6 +164,11 @@ def test_int8_scope_confines_quantization_to_sampler():
                                      attn_depths=[0], num_actions=3),
         sigma_data=0.5, sigma_offset_noise=0.3))
     v = den.init(jax.random.PRNGKey(0), img_size=8)
+    # randomize the zero-initialized output convs (reference quirk): an untrained model's
+    # inner output is exactly zero, which would mask any internal quantization
+    v = jax.tree_util.tree_map_with_path(
+        lambda p, x: jax.random.normal(jax.random.PRNGKey(len(str(p))), x.shape) * 0.05
+        if x.ndim == 4 and not np.any(np.asarray(x)) else x, v)
     sampler = DiffusionSampler(den, DiffusionSamplerConfig(num_steps_denoising=2))
 
     rng = np.random.default_rng(6)
@@ -181,7 +186,28 @@ def test_int8_scope_confines_quantization_to_sampler():
 
     quant.set_default(True)
     try:
-        x_q8, _ = sampler.sample(v, jax.random.PRNGKey(1), prev_obs, act, x_init=x_init)
+        # uncalibrated variables run the bf16 path even with the switch on
+        x_nocal, _ = sampler.sample(v, jax.random.PRNGKey(1), prev_obs, act, x_init=x_init)
+        assert np.array_equal(np.asarray(x_nocal), np.asarray(x_f32))
+        # calibration augments variables with static per-conv activation scales
+        v_cal = sampler.calibrate(v, jax.random.PRNGKey(9), prev_obs, act)
+        assert "quant" in v_cal and len(jax.tree_util.tree_leaves(v_cal["quant"])) > 0
+        x_q8, _ = sampler.sample(v_cal, jax.random.PRNGKey(1), prev_obs, act,
+                                 x_init=x_init)
+        # the raw inner-model output (pre uint8-grid rounding) must show quantization:
+        # different from f32 but close (int8 error, not garbage)
+        obs_cat = jnp.moveaxis(prev_obs, 1, 3).reshape(2, 8, 8, 6)
+        cs = den.compute_conditioners(jnp.full((2,), 1.3))
+        with quant.int8_rollout_scope(True):
+            # same call shape as the sampler (cached obs features): the calibration pass
+            # only visits the conv sites of this path
+            feats_q = den.compute_obs_features(v_cal, obs_cat)
+            mo_q = den.compute_model_output(v_cal, x_init, obs_cat, act, cs, feats_q)
+        feats_f = den.compute_obs_features(v, obs_cat)
+        mo_f = den.compute_model_output(v, x_init, obs_cat, act, cs, feats_f)
+        d_mo = float(jnp.abs(mo_q - mo_f).max())
+        assert d_mo > 0, "calibrated int8 convs should perturb the raw model output"
+        assert d_mo <= 0.1 * float(jnp.abs(mo_f).max()) + 0.05, d_mo
         loss_q8, _ = den.loss(v, bobs, bact, bmask, jax.random.PRNGKey(2), sig)
     finally:
         quant.set_default(False)
@@ -193,3 +219,75 @@ def test_int8_scope_confines_quantization_to_sampler():
     diff = np.abs(np.asarray(x_q8) - np.asarray(x_f32))
     assert diff.max() <= 32 / 255 * 2, diff.max()
     assert np.mean(diff <= 6 / 255 * 2) >= 0.95, np.mean(diff <= 6 / 255 * 2)
+
+
+def test_fused_norm_silu_q8_kernel_math():
+    """ops/fused_q8.py: the fused normalize+affine+SiLU+quantize kernel (interpret mode)
+    matches the unfused reference math within one int8 quantization step, and
+    conv3x3_qtensor dequantizes to the f32 conv within the symmetric-int8 error bound."""
+    from diamond_tpu.ops.fused_q8 import (conv3x3_qtensor, group_stats_channels,
+                                          norm_affine_silu_q8)
+
+    rng = np.random.default_rng(7)
+    b, h, w, c = 4, 8, 8, 16
+    g = 2
+    x = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32) * 3)
+    gamma = jnp.asarray(rng.normal(size=(b, c)).astype(np.float32))
+    beta = jnp.asarray(rng.normal(size=(b, c)).astype(np.float32))
+
+    mean_c, inv_c = group_stats_channels(x, g)
+    # unfused reference
+    xn = (np.asarray(x) - np.asarray(mean_c)[:, None, None, :]) \
+        * np.asarray(inv_c)[:, None, None, :]
+    y = xn * np.asarray(gamma)[:, None, None, :] + np.asarray(beta)[:, None, None, :]
+    y = y / (1 + np.exp(-y))
+
+    qt = norm_affine_silu_q8(x, mean_c, inv_c, gamma, beta, interpret=True)
+    assert qt.q.dtype == jnp.int8 and qt.scale.shape == (b, 1)
+    deq = np.asarray(qt.q).astype(np.float32) * np.asarray(qt.scale)[:, 0, None, None, None]
+    np.testing.assert_allclose(deq, y, atol=float(np.asarray(qt.scale).max()) * 1.01)
+
+    # group statistics equal the plain-GN formulation
+    gs = c // g
+    xg = np.asarray(x).reshape(b, h, w, g, gs)
+    m = xg.mean(axis=(1, 2, 4))
+    v = xg.var(axis=(1, 2, 4))
+    np.testing.assert_allclose(np.asarray(mean_c).reshape(b, g, gs)[:, :, 0], m, atol=1e-4)
+    np.testing.assert_allclose(1 / np.asarray(inv_c).reshape(b, g, gs)[:, :, 0] ** 2 - 1e-5,
+                               v, atol=1e-3)
+
+    # int8 conv of the QTensor vs f32 conv of the dequantized activation
+    wk = jnp.asarray((rng.normal(size=(3, 3, c, 8)) * 0.1).astype(np.float32))
+    y_ref = jax.lax.conv_general_dilated(
+        jnp.asarray(deq), wk, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y_q = conv3x3_qtensor(qt, wk)
+    err = float(jnp.abs(y_q - y_ref).max())
+    assert err <= 0.03 * float(jnp.abs(y_ref).max()) + 1e-3, err
+
+
+def test_conv3x3_q8_static_folds_channel_scales():
+    """Static per-input-channel activation scales (ops/quant.py conv3x3_q8_static):
+    accuracy comparable to the f32 conv even with wildly different per-channel ranges
+    (where a per-tensor scale would crush small channels)."""
+    from diamond_tpu.ops.quant import conv3x3_q8_static
+
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(2, 8, 8, 16)).astype(np.float32)
+    x *= np.logspace(-2, 1, 16, dtype=np.float32)  # 1000x channel range spread
+    w = jnp.asarray((rng.normal(size=(3, 3, 16, 8)) * 0.1).astype(np.float32))
+    act_max = jnp.asarray(np.abs(x).max(axis=(0, 1, 2)))
+    xj = jnp.asarray(x)
+    y_ref = jax.lax.conv_general_dilated(
+        xj, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y_q = conv3x3_q8_static(xj, w, act_max)
+    err = float(jnp.abs(y_q - y_ref).max())
+    assert err <= 0.03 * float(jnp.abs(y_ref).max()), err
+    # strided
+    y_ref2 = jax.lax.conv_general_dilated(
+        xj, w, (2, 2), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y_q2 = conv3x3_q8_static(xj, w, act_max, strides=2)
+    assert float(jnp.abs(y_q2 - y_ref2).max()) <= 0.03 * float(jnp.abs(y_ref).max())
+    # inputs beyond the calibrated range clip instead of exploding
+    y_big = conv3x3_q8_static(xj * 100, w, act_max)
+    assert np.all(np.isfinite(np.asarray(y_big)))
