@@ -92,7 +92,10 @@ def main() -> None:
     pool = ICPool(obs=jnp.asarray(obs_u8), act=jnp.asarray(act), hx=hx, cx=cx,
                   ptr=jnp.asarray(0, jnp.int32))
     ac_vars = agent.variables["actor_critic"]
-    if os.environ.get("DIAMOND_TPU_POOL_FEATS", "0") == "1":
+    # Production inference options default ON here (tpu.int8_rollout / tpu.pool_policy_feats
+    # in training; capability-gated by the fake-env schedule runs, VALIDATION.md round 3).
+    # Set the env var to 0 to measure the plain bf16 path.
+    if os.environ.get("DIAMOND_TPU_POOL_FEATS", "1") == "1":
         # production option tpu.pool_policy_feats: precomputed policy features replace the
         # rollout's per-step batched context encode (envs/world_model_env.py ICPool.feats)
         _note("pool_feats_precompute")
@@ -113,7 +116,7 @@ def main() -> None:
     d_vars = agent.variables["denoiser"]
     r_vars = agent.variables["rew_end_model"]
 
-    if os.environ.get("DIAMOND_TPU_INT8", "0") == "1":
+    if os.environ.get("DIAMOND_TPU_INT8", "1") == "1":
         # static int8 rollout path: one eager observe pass yields the "quant" collection
         # of per-conv activation scales (models/diffusion_sampler.py calibrate)
         _note("int8_calibration")

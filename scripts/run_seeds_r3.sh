@@ -1,0 +1,32 @@
+#!/usr/bin/env bash
+# Round-3 multi-seed capability evidence (VERDICT #7) under the PRODUCTION inference
+# options (tpu.int8_rollout + tpu.pool_policy_feats — their capability gate, VERDICT #2).
+# Same schedule shape as the round-2 validated run (/root/runs_r2/long2): fake env 64x64,
+# full-size agent, 8k env-step budget, reference schedule shape, 100-episode final
+# protocol. Each seed loops on exit 75 (restart guard) like scripts/resume.sh.
+# Usage: scripts/run_seeds_r3.sh <outdir> <seed> [seed ...]
+set -u
+OUT="${1:?outdir}"
+shift
+for SEED in "$@"; do
+  DIR="${OUT}/seed${SEED}"
+  mkdir -p "${DIR}"
+  echo "=== seed ${SEED} -> ${DIR} ==="
+  first=1
+  while true; do
+    if [ "$first" -eq 1 ]; then
+      python -m diamond_tpu.main env=fake common.seed="${SEED}" \
+        collection.train.num_steps_total=8000 training.num_final_epochs=10 \
+        tpu.int8_rollout=True tpu.pool_policy_feats=True tpu.max_host_rss_gb=60 \
+        --run-dir "${DIR}" > "${DIR}/run.log" 2>&1
+    else
+      python -m diamond_tpu.main common.resume=True --run-dir "${DIR}" \
+        >> "${DIR}/run.log" 2>&1
+    fi
+    rc=$?
+    first=0
+    [ "$rc" -eq 75 ] || break
+    echo "seed ${SEED}: restartable exit (75) — resuming"
+  done
+  echo "seed ${SEED} finished rc=$rc"
+done
