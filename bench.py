@@ -117,8 +117,12 @@ def main() -> None:
     r_vars = agent.variables["rew_end_model"]
 
     if os.environ.get("DIAMOND_TPU_INT8", "1") == "1":
-        # static int8 rollout path: one eager observe pass yields the "quant" collection
-        # of per-conv activation scales (models/diffusion_sampler.py calibrate)
+        # static int8 rollout path: one jitted observe pass yields the "quant" collection
+        # of per-conv activation scales (models/diffusion_sampler.py calibrate). The
+        # process-wide switch must be flipped explicitly: ops/quant.py's own env-var
+        # default stays opt-in ("0") for every other entry point.
+        from diamond_tpu.ops import quant
+        quant.set_default(True)
         _note("int8_calibration")
         d_vars = engine.sampler.calibrate(
             d_vars, jax.random.PRNGKey(3), st.obs_buffer, st.act_buffer)

@@ -70,6 +70,7 @@ class DiffusionSampler:
         self.cfg = cfg
         self.sigmas = build_sigmas(cfg.num_steps_denoising, cfg.sigma_min, cfg.sigma_max,
                                    cfg.rho)
+        self._calibrate_jit = None  # lazily-built jitted observe pass (calibrate())
 
     def sample(self, variables: Variables, rng: jax.Array, prev_obs: jnp.ndarray,
                prev_act: Optional[jnp.ndarray], return_trajectory: bool = False,
@@ -143,18 +144,30 @@ class DiffusionSampler:
         """Observe per-conv activation ranges for the static int8 rollout path and return
         ``variables`` augmented with the "quant" collection (ops/quant.py).
 
-        Runs ONE full sampling pass EAGERLY (not jitted): each Conv3x3 records concrete
-        per-input-channel |x| maxima into a registry keyed by module path. Eager cost is
-        a few seconds once per denoiser update (epoch); the payoff is that the scales are
-        regular step-time inputs — recalibration never retraces the jitted rollout.
-        Call with representative conditioning frames (e.g. a pool batch)."""
+        Runs ONE full sampling pass under jit: each Conv3x3 records its per-input-channel
+        |x| maxima into a trace-scoped registry which the jitted function returns as the
+        nested "quant" collection (the sampler's sigma loop and the U-Net are fully
+        unrolled — no lax control flow wraps the conv sites, so the recorded tracers
+        legally escape to the jit output). The scales are regular step-time inputs —
+        recalibration never retraces the jitted rollout, and the observe pass itself
+        compiles once and replays in milliseconds (the eager version cost minutes per
+        epoch over the tunneled platform). Call with representative conditioning frames
+        (e.g. a pool batch)."""
         from ..ops import quant
 
-        registry: dict = {}
-        with quant.calibration_scope(registry):
-            self.sample(variables, rng, prev_obs, prev_act)
-        assert registry, "calibration saw no conv sites"
-        return quant.with_calibration(variables, registry)
+        if self._calibrate_jit is None:
+            def _observe(variables, rng, prev_obs, prev_act):
+                registry: dict = {}
+                with quant.calibration_scope(registry):
+                    self.sample(variables, rng, prev_obs, prev_act)
+                assert registry, "calibration saw no conv sites"
+                return quant.registry_to_collection(registry)
+
+            self._calibrate_jit = jax.jit(_observe)
+        # strip any stale "quant" collection so recalibration hits the same jit cache
+        # entry as the first call (and the observe trace never reads it anyway)
+        base = {k: v for k, v in variables.items() if k != "quant"}
+        return dict(base, quant=self._calibrate_jit(base, rng, prev_obs, prev_act))
 
 
 class TwoStageSampler:

@@ -1,9 +1,12 @@
 #!/usr/bin/env bash
 # Round-3 multi-seed capability evidence (VERDICT #7) under the PRODUCTION inference
 # options (tpu.int8_rollout + tpu.pool_policy_feats — their capability gate, VERDICT #2).
-# Same schedule shape as the round-2 validated run (/root/runs_r2/long2): fake env 64x64,
-# full-size agent, 8k env-step budget, reference schedule shape, 100-episode final
-# protocol. Each seed loops on exit 75 (restart guard) like scripts/resume.sh.
+# Schedule SHAPE matches the round-2 validated run (/root/runs_r2/long2: fake env 64x64,
+# full-size agent, reference-shaped phases, 100-episode final protocol) at HALF the
+# env-step/train-step budget so three seeds fit one round's wall clock:
+#   long2: 8000 env steps (first epoch 5000), 10000/10000/5000 first-epoch train steps
+#   here : 3500 env steps (first epoch 2000),  5000/5000/2500 first-epoch train steps
+# Each seed loops on exit 75 (restart guard) like scripts/resume.sh.
 # Usage: scripts/run_seeds_r3.sh <outdir> <seed> [seed ...]
 set -u
 OUT="${1:?outdir}"
@@ -16,7 +19,12 @@ for SEED in "$@"; do
   while true; do
     if [ "$first" -eq 1 ]; then
       python -m diamond_tpu.main env=fake common.seed="${SEED}" \
-        collection.train.num_steps_total=8000 training.num_final_epochs=10 \
+        collection.train.num_steps_total=3500 \
+        collection.train.first_epoch.min=2000 collection.train.first_epoch.max=2000 \
+        denoiser.training.steps_first_epoch=5000 \
+        rew_end_model.training.steps_first_epoch=5000 \
+        actor_critic.training.steps_first_epoch=2500 \
+        training.num_final_epochs=10 \
         tpu.int8_rollout=True tpu.pool_policy_feats=True tpu.max_host_rss_gb=60 \
         --run-dir "${DIR}" > "${DIR}/run.log" 2>&1
     else
