@@ -126,6 +126,9 @@ def main() -> None:
         _note("int8_calibration")
         d_vars = engine.sampler.calibrate(
             d_vars, jax.random.PRNGKey(3), st.obs_buffer, st.act_buffer)
+        r_vars = agent.rew_end_model.calibrate(
+            r_vars, st.obs_buffer[:, -2:-1], st.act_buffer[:, -2:-1],
+            st.obs_buffer[:, -1:])
 
     def run(key, st, pool):
         traj, st, pool = rollout(ac_vars, d_vars, r_vars, st, pool, key, HORIZON)

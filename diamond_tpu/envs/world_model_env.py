@@ -139,15 +139,22 @@ class ImaginationEngine:
         """One world-model step: sample next frame, predict+sample reward/end, roll buffers
         (reference world_model_env.py:65-105 without the reset block). Everything is
         stop_gradient (the reference runs it all under @torch.no_grad)."""
+        from ..ops import quant
+
         k_sample, k_rew, k_end = jax.random.split(rng, 3)
         act_buffer = st.act_buffer.at[:, -1].set(act)
 
         next_obs, _ = self.sampler.sample(d_vars, k_sample, st.obs_buffer, act_buffer)
         next_obs = jax.lax.stop_gradient(next_obs)
 
-        logits_rew, logits_end, (re_hx, re_cx) = self.rew_end_model.predict_rew_end(
-            r_vars, st.obs_buffer[:, -1:], act_buffer[:, -1:], next_obs[:, None],
-            (st.re_hx, st.re_cx))
+        # rew/end here is stop-gradient inference: with tpu.int8_rollout and calibrated
+        # r_vars (RewEndModel.calibrate), its encoder convs take the same static int8 MXU
+        # path as the denoiser's (ops/quant.py). Training losses never pass through here.
+        r_int8 = quant.default_enabled() and "quant" in r_vars
+        with quant.int8_rollout_scope(r_int8):
+            logits_rew, logits_end, (re_hx, re_cx) = self.rew_end_model.predict_rew_end(
+                r_vars, st.obs_buffer[:, -1:], act_buffer[:, -1:], next_obs[:, None],
+                (st.re_hx, st.re_cx))
         logits_rew = jax.lax.stop_gradient(logits_rew[:, 0])
         logits_end = jax.lax.stop_gradient(logits_end[:, 0])
         rew = jax.random.categorical(k_rew, logits_rew).astype(jnp.float32) - 1.0

@@ -115,6 +115,7 @@ class RewEndModel:
     def __init__(self, cfg: RewEndModelConfig, dtype: Any = jnp.float32) -> None:
         self.cfg = cfg
         self.net = RewEndNet(cfg, dtype=dtype)
+        self._calibrate_jit = None  # lazily-built jitted observe pass (calibrate())
 
     def init(self, rng: jax.Array) -> Variables:
         cfg = self.cfg
@@ -133,6 +134,30 @@ class RewEndModel:
         if carry is None:
             carry = self.initial_carry(obs.shape[0])
         return self.net.apply(variables, obs, act, next_obs, carry)
+
+    def calibrate(self, variables: Variables, obs: jnp.ndarray, act: jnp.ndarray,
+                  next_obs: jnp.ndarray) -> Variables:
+        """Observe per-conv activation ranges for the int8 rollout path and return
+        ``variables`` augmented with the "quant" collection (ops/quant.py) — the rew/end
+        twin of DiffusionSampler.calibrate. Inside the imagination rollout the rew/end
+        forward is pure stop-gradient inference (reference src/envs/world_model_env.py:
+        92-105 under @torch.no_grad), so its encoder convs can ride the same static-
+        calibrated int8 MXU path as the denoiser's. The encoder runs before the LSTM's
+        lax.scan, so the recorded tracers legally escape to the jit output. Training
+        losses never enter the int8 scope and stay unquantized."""
+        from ..ops import quant
+
+        if self._calibrate_jit is None:
+            def _observe(variables, obs, act, next_obs):
+                registry: dict = {}
+                with quant.int8_rollout_scope(True), quant.calibration_scope(registry):
+                    self.predict_rew_end(variables, obs, act, next_obs)
+                assert registry, "calibration saw no conv sites"
+                return quant.registry_to_collection(registry)
+
+            self._calibrate_jit = jax.jit(_observe)
+        base = {k: v for k, v in variables.items() if k != "quant"}
+        return dict(base, quant=self._calibrate_jit(base, obs, act, next_obs))
 
     def loss(self, variables: Variables, batch_obs: jnp.ndarray, batch_act: jnp.ndarray,
              batch_rew: jnp.ndarray, batch_end: jnp.ndarray, batch_mask: jnp.ndarray,

@@ -72,6 +72,8 @@ class Trainer:
         self._int8_rollout = bool(cfg.get("tpu", {}).get("int8_rollout", False))
         self._quant_coll = None   # calibrated "quant" collection (static act scales)
         self._quant_step = -1     # denoiser train-state step it was calibrated at
+        self._r_quant_coll = None  # rew/end twin of the above
+        self._r_quant_step = -1
         if self._int8_rollout:
             from .ops import quant
 
@@ -314,6 +316,25 @@ class Trainer:
             print(f"int8 recalibrated at denoiser step {step} "
                   f"({time.perf_counter() - t0:.1f}s)")
         return dict(d_vars, quant=self._quant_coll)
+
+    def _rew_end_infer_variables(self) -> Any:
+        """Rew/end variables for stop-gradient imagination inference — the rew/end twin of
+        _wm_infer_variables (RewEndModel.calibrate; recalibrated when the rew/end model has
+        trained since the last calibration, on an adjacent pair of live buffer frames)."""
+        r_vars = self._r_variables()
+        if not self._int8_rollout:
+            return r_vars
+        step = int(self.train_states["rew_end_model"].step)
+        if self._r_quant_coll is None or step != self._r_quant_step:
+            st = self._imag_state
+            t0 = time.perf_counter()
+            cal = self.agent.rew_end_model.calibrate(
+                r_vars, st.obs_buffer[:, -2:-1], st.act_buffer[:, -2:-1],
+                st.obs_buffer[:, -1:])
+            self._r_quant_coll, self._r_quant_step = cal["quant"], step
+            print(f"int8 rew/end recalibrated at step {step} "
+                  f"({time.perf_counter() - t0:.1f}s)")
+        return dict(r_vars, quant=self._r_quant_coll)
 
     def _u_variables(self) -> Any:
         v = {"params": self.train_states["upsampler"].params}
@@ -586,7 +607,7 @@ class Trainer:
                 self._ensure_imagination()
                 state = self.train_states[name]
                 state, self._imag_state, self._pool, metrics = self._ac_step(
-                    state, self._wm_infer_variables(), self._r_variables(),
+                    state, self._wm_infer_variables(), self._rew_end_infer_variables(),
                     self._imag_state, self._pool, self._next_key())
                 self.train_states[name] = state
                 metrics = dict(metrics,

@@ -221,6 +221,59 @@ def test_int8_scope_confines_quantization_to_sampler():
     assert np.mean(diff <= 6 / 255 * 2) >= 0.95, np.mean(diff <= 6 / 255 * 2)
 
 
+def test_int8_rew_end_inference_path():
+    """RewEndModel.calibrate + the rollout's int8 scope (world_model_env._wm_transition):
+    calibrated int8 logits perturb but stay close to f32, and the training loss traced
+    outside the scope is bit-identical to the unquantized loss."""
+    from diamond_tpu.models.rew_end_model import RewEndModel, RewEndModelConfig
+    from diamond_tpu.ops import quant
+
+    cfg = RewEndModelConfig(lstm_dim=32, img_channels=3, img_size=8, cond_channels=16,
+                            depths=[1, 1], channels=[16, 16], attn_depths=[0, 0],
+                            num_actions=3)
+    m = RewEndModel(cfg)
+    v = m.init(jax.random.PRNGKey(0))
+    # randomize the zero-initialized out convs (reference quirk) so quantization inside
+    # the ResBlocks is visible in the output
+    v = jax.tree_util.tree_map_with_path(
+        lambda p, x: jax.random.normal(jax.random.PRNGKey(len(str(p))), x.shape) * 0.05
+        if x.ndim == 4 and not np.any(np.asarray(x)) else x, v)
+
+    rng = np.random.default_rng(7)
+    obs = jnp.asarray(rng.uniform(-1, 1, (2, 1, 8, 8, 3)).astype(np.float32))
+    nxt = jnp.asarray(rng.uniform(-1, 1, (2, 1, 8, 8, 3)).astype(np.float32))
+    act = jnp.asarray(rng.integers(0, 3, (2, 1)).astype(np.int32))
+
+    lr_f, le_f, _ = m.predict_rew_end(v, obs, act, nxt)
+
+    bobs = jnp.asarray(rng.uniform(-1, 1, (2, 4, 8, 8, 3)).astype(np.float32))
+    bact = jnp.asarray(rng.integers(0, 3, (2, 4)).astype(np.int32))
+    brew = jnp.asarray(rng.integers(-1, 2, (2, 4)).astype(np.float32))
+    bend = jnp.zeros((2, 4), jnp.int32)
+    bmask = jnp.ones((2, 4), bool)
+    fobs = jnp.zeros((2, 8, 8, 3), jnp.float32)
+    hasf = jnp.zeros((2,), bool)
+    loss_f32, _ = m.loss(v, bobs, bact, brew, bend, bmask, fobs, hasf)
+
+    quant.set_default(True)
+    try:
+        v_cal = m.calibrate(v, obs, act, nxt)
+        assert "quant" in v_cal and len(jax.tree_util.tree_leaves(v_cal["quant"])) > 0
+        with quant.int8_rollout_scope(True):
+            lr_q, le_q, _ = m.predict_rew_end(v_cal, obs, act, nxt)
+        d = float(jnp.abs(lr_q - lr_f).max())
+        scale = float(jnp.abs(lr_f).max())
+        assert d > 0, "calibrated int8 convs should perturb the logits"
+        assert d <= 0.1 * scale + 0.05, (d, scale)
+        assert float(jnp.abs(le_q - le_f).max()) <= 0.1 * float(jnp.abs(le_f).max()) + 0.05
+        loss_q8, _ = m.loss(v, bobs, bact, brew, bend, bmask, fobs, hasf)
+    finally:
+        quant.set_default(False)
+
+    assert np.array_equal(np.asarray(loss_f32), np.asarray(loss_q8)), \
+        "rew/end training loss must never be quantized"
+
+
 def test_fused_norm_silu_q8_kernel_math():
     """ops/fused_q8.py: the fused normalize+affine+SiLU+quantize kernel (interpret mode)
     matches the unfused reference math within one int8 quantization step, and
