@@ -54,6 +54,8 @@ STATIC_ACTION_MEANINGS: Dict[str, List[str]] = {
     "PongNoFrameskip-v4": ["NOOP", "FIRE", "RIGHT", "LEFT", "RIGHTFIRE", "LEFTFIRE"],
     "BoxingNoFrameskip-v4": ATARI_ACTION_NAMES,
     "FreewayNoFrameskip-v4": ["NOOP", "UP", "DOWN"],
+    # scripted ALE double (envs/fake_ale.py FakeALE.get_action_meanings)
+    "FakeALENoFrameskip-v4": ["NOOP", "FIRE", "RIGHT", "LEFT"],
 }
 
 

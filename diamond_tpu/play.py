@@ -45,6 +45,40 @@ def download_pretrained(game: str):
     return Path(ckpt)
 
 
+def compose_pretrained_config(game: str):
+    """reference play.py:76-80: with --pretrained, the PUBLISHED run's agent/env config
+    groups (downloaded from the hub) override the local ones, and the env id is pinned to
+    the chosen game. Composed through our own config system so ``${...}`` interpolations
+    resolve the Hydra way; the reference's ``_target_`` instantiation keys are dropped
+    (our configs are plain trees)."""
+    import shutil
+    import tempfile
+
+    import yaml
+    from huggingface_hub import hf_hub_download
+
+    from .config import DEFAULT_CONFIG_DIR, load_config
+
+    agent_yaml = hf_hub_download("eloialonso/diamond", "atari_100k/config/agent/default.yaml")
+    env_yaml = hf_hub_download("eloialonso/diamond", "atari_100k/config/env/atari.yaml")
+
+    def strip_target(d):
+        if isinstance(d, dict):
+            return {k: strip_target(v) for k, v in d.items() if k != "_target_"}
+        return d
+
+    tmp = Path(tempfile.mkdtemp(prefix="diamond_pretrained_cfg_"))
+    shutil.copytree(DEFAULT_CONFIG_DIR, tmp, dirs_exist_ok=True)
+    (tmp / "agent" / "default.yaml").write_text(
+        yaml.safe_dump(strip_target(yaml.safe_load(Path(agent_yaml).read_text())),
+                       sort_keys=False))
+    (tmp / "env" / "atari.yaml").write_text(
+        yaml.safe_dump(strip_target(yaml.safe_load(Path(env_yaml).read_text())),
+                       sort_keys=False))
+    return load_config("trainer", overrides=[
+        "env=atari", f"env.train.id={game}NoFrameskip-v4"], config_dir=tmp)
+
+
 def main(argv=None) -> None:
     args = parse_args(argv)
     import os
@@ -85,6 +119,12 @@ def main(argv=None) -> None:
     from .game.play_env import NamedEnv, PlayEnv
     from .models import Agent, AgentConfig
 
+    if args.pretrained:
+        # the published run's agent/env configs replace the local ones BEFORE envs and
+        # the agent are built (reference play.py:76-80)
+        game = args.game or cfg.env.train.id.replace("NoFrameskip-v4", "")
+        cfg = compose_pretrained_config(game)
+
     train_env = make_env(num_envs=1, **cfg.env.train)
     test_env = make_env(num_envs=1, **cfg.env.test)
     num_actions = int(test_env.num_actions)
@@ -95,7 +135,6 @@ def main(argv=None) -> None:
     if args.pretrained:
         from .interop import load_reference_checkpoint
 
-        game = args.game or cfg.env.train.id.replace("NoFrameskip-v4", "")
         path = download_pretrained(game)
         variables = load_reference_checkpoint(path, img_size=cfg.env.train.size,
                                               ac_down=list(cfg.agent.actor_critic.down))
