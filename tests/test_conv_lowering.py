@@ -1,6 +1,7 @@
 """MXU-friendly 3x3-conv lowerings are exact reformulations of the XLA conv
 (ops/conv_lowering.py), and the flax wrapper keeps nn.Conv's parameter tree."""
 
+import os
 import subprocess
 import sys
 
@@ -48,9 +49,7 @@ def test_flax_wrapper_param_tree_and_values():
     code = """
 import os, sys
 mode = sys.argv[1]
-os.environ["DIAMOND_TPU_CONV"] = mode
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+assert os.environ["DIAMOND_TPU_CONV"] == mode
 import jax
 jax.config.update("jax_platform_name", "cpu")
 import jax.numpy as jnp, numpy as np
@@ -66,8 +65,16 @@ print(";".join(paths))
 """
     outs = {}
     for mode in ("xla", "paired"):
+        # CPU must be forced in the child's *environment*: sitecustomize pre-imports jax
+        # before any line of the -c script runs, so an in-script setdefault is too late and
+        # the child would touch the (possibly wedged) TPU tunnel. Dropping PALLAS_AXON_*
+        # skips the tunnel PJRT registration entirely — it can BLOCK the child's `import
+        # jax` for minutes when the platform is wedged, even with JAX_PLATFORMS=cpu set.
+        env = {k: v for k, v in os.environ.items() if not k.startswith("PALLAS_AXON")}
+        env.update({"DIAMOND_TPU_CONV": mode,
+                    "JAX_PLATFORMS": "cpu", "JAX_PLATFORM_NAME": "cpu"})
         r = subprocess.run([sys.executable, "-c", code, mode], capture_output=True,
-                           text=True, cwd="/root/repo", timeout=300)
+                           text=True, cwd="/root/repo", timeout=300, env=env)
         assert r.returncode == 0, r.stderr[-2000:]
         outs[mode] = r.stdout.strip().splitlines()[-1]
     assert outs["xla"] == outs["paired"]  # identical param trees

@@ -90,14 +90,13 @@ def test_pallas_model_path_equivalence():
     """DIAMOND_TPU_PALLAS=1 routes the ResBlock norms through the kernels (interpret mode
     off-TPU) with identical params and matching outputs. Subprocess: the flag is read at
     import."""
+    import os
     import subprocess
     import sys
 
     code = """
 import os, sys
-os.environ["DIAMOND_TPU_PALLAS"] = sys.argv[1]
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+assert os.environ["DIAMOND_TPU_PALLAS"] == sys.argv[1]
 import jax
 jax.config.update("jax_platform_name", "cpu")
 import jax.numpy as jnp, numpy as np
@@ -117,8 +116,14 @@ np.save(f"/tmp/pallas_equiv_{sys.argv[1]}.npy", np.asarray(y))
 print("OK")
 """
     for flag in ("0", "1"):
+        # CPU forced in the child's ENVIRONMENT (sitecustomize pre-imports jax before the
+        # -c body runs) and PALLAS_AXON_* dropped so the tunnel PJRT registration — which
+        # blocks `import jax` for minutes when the platform is wedged — never runs.
+        env = {k: v for k, v in os.environ.items() if not k.startswith("PALLAS_AXON")}
+        env.update({"DIAMOND_TPU_PALLAS": flag,
+                    "JAX_PLATFORMS": "cpu", "JAX_PLATFORM_NAME": "cpu"})
         r = subprocess.run([sys.executable, "-c", code, flag], capture_output=True,
-                           text=True, cwd="/root/repo", timeout=600)
+                           text=True, cwd="/root/repo", timeout=600, env=env)
         assert r.returncode == 0, r.stderr[-3000:]
     a = np.load("/tmp/pallas_equiv_0.npy")
     b = np.load("/tmp/pallas_equiv_1.npy")

@@ -148,8 +148,10 @@ def test_play_pretrained_offline_hub_cache(tmp_path):
     run_dir.mkdir()
 
     # 3) drive the play app for real, offline, headless
-    env = dict(os.environ,
-               HF_HUB_CACHE=str(tmp_path / "hub"), HF_HUB_OFFLINE="1",
+    # PALLAS_AXON_* dropped: the tunnel PJRT registration in sitecustomize blocks the
+    # child's `import jax` for minutes when the platform is wedged, even with CPU forced.
+    env = {k: v for k, v in os.environ.items() if not k.startswith("PALLAS_AXON")}
+    env.update(HF_HUB_CACHE=str(tmp_path / "hub"), HF_HUB_OFFLINE="1",
                HF_HOME=str(tmp_path / "hf_home"),
                SDL_VIDEODRIVER="dummy",
                JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu",
