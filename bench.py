@@ -124,11 +124,12 @@ def main() -> None:
         from diamond_tpu.ops import quant
         quant.set_default(True)
         _note("int8_calibration")
+        from diamond_tpu.data.episode import obs_to_float
+        obs_f = obs_to_float(st.obs_buffer)
         d_vars = engine.sampler.calibrate(
-            d_vars, jax.random.PRNGKey(3), st.obs_buffer, st.act_buffer)
+            d_vars, jax.random.PRNGKey(3), obs_f, st.act_buffer)
         r_vars = agent.rew_end_model.calibrate(
-            r_vars, st.obs_buffer[:, -2:-1], st.act_buffer[:, -2:-1],
-            st.obs_buffer[:, -1:])
+            r_vars, obs_f[:, -2:-1], st.act_buffer[:, -2:-1], obs_f[:, -1:])
 
     def run(key, st, pool):
         traj, st, pool = rollout(ac_vars, d_vars, r_vars, st, pool, key, HORIZON)

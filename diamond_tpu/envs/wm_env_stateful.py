@@ -75,8 +75,8 @@ class WorldModelEnv:
             # denoising latents (XLA CSEs the duplicate work)
             k_sample = jax.random.split(rng, 3)[0]
             act_buffer = st.act_buffer.at[:, -1].set(act)
-            _, traj = engine.sampler.sample(d_vars, k_sample, st.obs_buffer, act_buffer,
-                                            return_trajectory=True)
+            _, traj = engine.sampler.sample(d_vars, k_sample, obs_to_float(st.obs_buffer),
+                                            act_buffer, return_trajectory=True)
             st2, out = step_fn(d_vars, r_vars, st, act, rng)
             out["denoising_trajectory"] = jnp.stack(traj, axis=1)
             return st2, out
@@ -105,6 +105,13 @@ class WorldModelEnv:
 
         return quantize_to_uint8_grid(downsample_avg(obs_float, self._factor))
 
+    def _ics_to_buffer(self, obs_u8: jnp.ndarray) -> jnp.ndarray:
+        """uint8 IC frames -> the uint8 imagination buffer (downsampled in two-stage
+        mode; the grid quantization makes the uint8 round-trip lossless)."""
+        if self._factor == 1:
+            return obs_u8
+        return obs_to_uint8(np.asarray(self._to_buffer_res(obs_to_float(obs_u8))))
+
     def reset(self, seed: Optional[Any] = None, **kwargs) -> Tuple[np.ndarray, Dict]:
         if seed is not None:
             s = int(np.sum(seed)) if isinstance(seed, (list, tuple, np.ndarray)) else int(seed)
@@ -112,13 +119,13 @@ class WorldModelEnv:
         obs, act, hx, cx = self._fetch_ics(self.num_envs)
         b, d = self.num_envs, hx.shape[-1]
         self._st = ImagState(
-            obs_buffer=self._to_buffer_res(obs_to_float(obs)), act_buffer=act, re_hx=hx,
+            obs_buffer=self._ics_to_buffer(obs), act_buffer=act, re_hx=hx,
             re_cx=cx, ac_hx=jnp.zeros((b, d)), ac_cx=jnp.zeros((b, d)),
             ep_len=jnp.zeros((b,), jnp.int32))
         if self._factor > 1:  # display the full-res originals of the ICs
             self._display_obs = np.asarray(obs[:, -1]).copy()
             return self._display_obs.copy(), {}
-        return obs_to_uint8(np.asarray(self._st.obs_buffer[:, -1])), {}
+        return np.asarray(self._st.obs_buffer[:, -1]), {}
 
     def step(self, act: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
                                              Dict[str, Any]]:
@@ -152,19 +159,18 @@ class WorldModelEnv:
             obs_ic, act_ic, hx_ic, cx_ic = self._fetch_ics(n)
             idx = jnp.asarray(np.nonzero(dead)[0])
             self._st = self._st.replace(
-                obs_buffer=self._st.obs_buffer.at[idx].set(
-                    self._to_buffer_res(obs_to_float(obs_ic))),
+                obs_buffer=self._st.obs_buffer.at[idx].set(self._ics_to_buffer(obs_ic)),
                 act_buffer=self._st.act_buffer.at[idx].set(act_ic),
                 re_hx=self._st.re_hx.at[idx].set(hx_ic),
                 re_cx=self._st.re_cx.at[idx].set(cx_ic),
                 ep_len=self._st.ep_len.at[idx].set(0))
-            info["burnin_obs"] = obs_to_uint8(np.asarray(self._st.obs_buffer))[dead][:, :-1]
+            info["burnin_obs"] = np.asarray(self._st.obs_buffer)[dead][:, :-1]
             if self._factor > 1:  # display the full-res originals of the fresh ICs
                 self._display_obs[dead] = np.asarray(obs_ic)[:, -1]
 
         if self._factor > 1:
             return self._display_obs.copy(), rew, end, trunc, info
-        obs = obs_to_uint8(np.asarray(self._st.obs_buffer[:, -1]))
+        obs = np.asarray(self._st.obs_buffer[:, -1])
         return obs, rew, end, trunc, info
 
 

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from ..data.episode import obs_to_float
+from ..data.episode import obs_to_float, obs_to_uint8_device
 from ..models.actor_critic import ActorCritic
 from ..models.denoiser import Denoiser
 from ..models.diffusion_sampler import DiffusionSampler, DiffusionSamplerConfig
@@ -82,7 +82,13 @@ class ImagState(struct.PyTreeNode):
     """Per-env imagination state carried across AC train steps (the rolling buffers +
     recurrent carries of reference world_model_env.py:47-53 and env_loop.py:18-19)."""
 
-    obs_buffer: jnp.ndarray  # (B, n_cond, H, W, C) float32 in [-1, 1]
+    obs_buffer: jnp.ndarray  # (B, n_cond, H, W, C) uint8 — LOSSLESS: every frame here is
+                             # on the 256-level grid (dataset frames are uint8; world-model
+                             # frames are grid-quantized by Denoiser.wrap_model_output and
+                             # the sampler's final Euler step returns the denoised output
+                             # verbatim). uint8 storage cuts the buffer roll/reset/where
+                             # HBM traffic 4x; obs_to_float fuses into each consumer's
+                             # first elementwise pass.
     act_buffer: jnp.ndarray  # (B, n_cond) int32
     re_hx: jnp.ndarray       # (B, D) reward/end LSTM
     re_cx: jnp.ndarray
@@ -144,7 +150,8 @@ class ImaginationEngine:
         k_sample, k_rew, k_end = jax.random.split(rng, 3)
         act_buffer = st.act_buffer.at[:, -1].set(act)
 
-        next_obs, _ = self.sampler.sample(d_vars, k_sample, st.obs_buffer, act_buffer)
+        prev_obs = obs_to_float(st.obs_buffer)
+        next_obs, _ = self.sampler.sample(d_vars, k_sample, prev_obs, act_buffer)
         next_obs = jax.lax.stop_gradient(next_obs)
 
         # rew/end here is stop-gradient inference: with tpu.int8_rollout and calibrated
@@ -153,7 +160,7 @@ class ImaginationEngine:
         r_int8 = quant.default_enabled() and "quant" in r_vars
         with quant.int8_rollout_scope(r_int8):
             logits_rew, logits_end, (re_hx, re_cx) = self.rew_end_model.predict_rew_end(
-                r_vars, st.obs_buffer[:, -1:], act_buffer[:, -1:], next_obs[:, None],
+                r_vars, prev_obs[:, -1:], act_buffer[:, -1:], next_obs[:, None],
                 (st.re_hx, st.re_cx))
         logits_rew = jax.lax.stop_gradient(logits_rew[:, 0])
         logits_end = jax.lax.stop_gradient(logits_end[:, 0])
@@ -163,7 +170,8 @@ class ImaginationEngine:
         ep_len = st.ep_len + 1
         trunc = (ep_len >= self.cfg.horizon).astype(jnp.int32)
 
-        obs_buffer = jnp.concatenate([st.obs_buffer[:, 1:], next_obs[:, None]], axis=1)
+        obs_buffer = jnp.concatenate(
+            [st.obs_buffer[:, 1:], obs_to_uint8_device(next_obs)[:, None]], axis=1)
         act_buffer = jnp.concatenate([act_buffer[:, 1:], act_buffer[:, -1:]], axis=1)
 
         st = st.replace(obs_buffer=obs_buffer, act_buffer=act_buffer,
@@ -180,7 +188,7 @@ class ImaginationEngine:
         before = jnp.cumsum(dead_i) - dead_i  # exclusive prefix count of deaths
         idx = jnp.where(dead, (pool.ptr + before) % pool.size, 0)
 
-        new_obs = obs_to_float(jnp.take(pool.obs, idx, axis=0))
+        new_obs = jnp.take(pool.obs, idx, axis=0)  # uint8, same as the buffer
         new_act = jnp.take(pool.act, idx, axis=0)
         new_hx = jnp.take(pool.hx, idx, axis=0)
         new_cx = jnp.take(pool.cx, idx, axis=0)
@@ -226,10 +234,10 @@ class ImaginationEngine:
 
         def encode_context(obs_buffer):
             bb = obs_buffer.shape[0]
-            flat = obs_buffer.reshape((bb * n_cond,) + obs_buffer.shape[2:])
+            flat = obs_to_float(obs_buffer.reshape((bb * n_cond,) + obs_buffer.shape[2:]))
             return enc(ac_vars, flat).reshape(bb, n_cond, -1)
 
-        feat0 = enc(ac_vars, st.obs_buffer[:, -1])
+        feat0 = enc(ac_vars, obs_to_float(st.obs_buffer[:, -1]))
 
         # Only the pool POINTER is carried through the scan; the pool arrays are
         # loop-invariant closures. Threading the full pool (hundreds of MB) through the
@@ -310,7 +318,7 @@ class ImaginationEngine:
         d = self.actor_critic.cfg.lstm_dim
         idx = (pool.ptr + jnp.arange(batch_size)) % pool.size
         st = ImagState(
-            obs_buffer=obs_to_float(jnp.take(pool.obs, idx, axis=0)),
+            obs_buffer=jnp.take(pool.obs, idx, axis=0),  # uint8 end-to-end
             act_buffer=jnp.take(pool.act, idx, axis=0),
             re_hx=jnp.take(pool.hx, idx, axis=0),
             re_cx=jnp.take(pool.cx, idx, axis=0),

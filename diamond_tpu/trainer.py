@@ -310,8 +310,10 @@ class Trainer:
         if self._quant_coll is None or step != self._quant_step:
             st = self._imag_state
             t0 = time.perf_counter()
+            from .data.episode import obs_to_float
             cal = self.engine.sampler.calibrate(d_vars, self._next_key(),
-                                                st.obs_buffer, st.act_buffer)
+                                                obs_to_float(st.obs_buffer),
+                                                st.act_buffer)
             self._quant_coll, self._quant_step = cal["quant"], step
             print(f"int8 recalibrated at denoiser step {step} "
                   f"({time.perf_counter() - t0:.1f}s)")
@@ -328,9 +330,10 @@ class Trainer:
         if self._r_quant_coll is None or step != self._r_quant_step:
             st = self._imag_state
             t0 = time.perf_counter()
+            from .data.episode import obs_to_float
+            obs_f = obs_to_float(st.obs_buffer)
             cal = self.agent.rew_end_model.calibrate(
-                r_vars, st.obs_buffer[:, -2:-1], st.act_buffer[:, -2:-1],
-                st.obs_buffer[:, -1:])
+                r_vars, obs_f[:, -2:-1], st.act_buffer[:, -2:-1], obs_f[:, -1:])
             self._r_quant_coll, self._r_quant_step = cal["quant"], step
             print(f"int8 rew/end recalibrated at step {step} "
                   f"({time.perf_counter() - t0:.1f}s)")

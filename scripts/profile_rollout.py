@@ -77,8 +77,10 @@ def main():
     rew_end = agent.rew_end_model
     sampler = engine.sampler
 
-    obs_frame = st0.obs_buffer[:, -1]
-    obs_stack = st0.obs_buffer
+    from diamond_tpu.data.episode import obs_to_float
+
+    obs_stack = obs_to_float(st0.obs_buffer)  # ImagState buffers are uint8; models take f32
+    obs_frame = obs_stack[:, -1]
     act_buf = st0.act_buffer
 
     # 1) full rollout (the bench.py measurement)
