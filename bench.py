@@ -99,14 +99,9 @@ def main() -> None:
         # production option tpu.pool_policy_feats: precomputed policy features replace the
         # rollout's per-step batched context encode (envs/world_model_env.py ICPool.feats)
         _note("pool_feats_precompute")
-        from diamond_tpu.data.episode import obs_to_float
+        from diamond_tpu.envs.world_model_env import encode_pool_feats
 
-        @jax.jit
-        def feats_chunk(obs_c):
-            flat = obs_to_float(obs_c.reshape((-1,) + obs_c.shape[2:]))
-            return agent.actor_critic.encode(ac_vars, flat).reshape(
-                obs_c.shape[0], obs_c.shape[1], -1)
-
+        feats_chunk = jax.jit(lambda o: encode_pool_feats(agent.actor_critic, ac_vars, o))
         feats = jnp.concatenate([feats_chunk(pool.obs[i:i + 512])
                                  for i in range(0, pool_n, 512)])
         pool = pool.replace(feats=feats)
@@ -118,11 +113,8 @@ def main() -> None:
 
     if os.environ.get("DIAMOND_TPU_INT8", "1") == "1":
         # static int8 rollout path: one jitted observe pass yields the "quant" collection
-        # of per-conv activation scales (models/diffusion_sampler.py calibrate). The
-        # process-wide switch must be flipped explicitly: ops/quant.py's own env-var
-        # default stays opt-in ("0") for every other entry point.
-        from diamond_tpu.ops import quant
-        quant.set_default(True)
+        # of per-conv activation scales (models/diffusion_sampler.py calibrate). Carrying
+        # that collection in the variables IS the enablement (structural gate, ops/quant.py).
         _note("int8_calibration")
         from diamond_tpu.data.episode import obs_to_float
         obs_f = obs_to_float(st.obs_buffer)

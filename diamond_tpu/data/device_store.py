@@ -162,15 +162,30 @@ class DeviceEpisodeStore:
             self.trunc = self._write(self.trunc,
                                      jnp.asarray(padded(trunc.astype(np.int32), ())), idx_d)
 
-    def _ensure_room(self, needed: int) -> None:
+    def _ensure_room(self, needed: int, grow_ep: Optional[int] = None) -> None:
         """Compact the ring if the next `needed`-step upload would overflow but orphaned
         regions (episodes relocated by sync) hold enough reclaimable space. Compaction is
         ONE on-device permutation gather — no host->device frame traffic (the platform
-        leaks host RAM per H2D byte, VALIDATION.md), just a capacity-sized index upload."""
-        if self.next_free + needed <= self.capacity or self.waste_steps == 0:
+        leaks host RAM per H2D byte, VALIDATION.md), just a capacity-sized index upload.
+
+        ``grow_ep``: the episode about to be re-synced. If it cannot become the tail even
+        after packing (another live episode sits above it), its whole region is doomed to
+        be orphaned by the caller's relocation — so it is dropped DURING the pack (same
+        single gather reclaims it, no fresh waste). If it IS the top live episode, it is
+        kept and packed last: it becomes the tail and the caller appends only the suffix,
+        which minimizes H2D bytes (the leak-critical direction)."""
+        if self.next_free + needed <= self.capacity:
             return
         live = sorted((int(self.ep_offset[e]), e) for e in range(self.max_episodes)
                       if self.ep_offset[e] >= 0 and self.ep_len[e] > 0)
+        drop_grow = (grow_ep is not None and live and live[-1][1] != grow_ep
+                     and int(self.ep_offset[grow_ep]) >= 0
+                     and int(self.ep_len[grow_ep]) > 0)
+        reclaimable = self.waste_steps + (int(self.ep_len[grow_ep]) if drop_grow else 0)
+        if reclaimable == 0:
+            return
+        if drop_grow:
+            live = [(off, e) for off, e in live if e != grow_ep]
         perm = np.arange(self.capacity, dtype=np.int32)  # identity for the free tail
         pos = 0
         new_offsets = []
@@ -185,6 +200,9 @@ class DeviceEpisodeStore:
                 self.obs, self.act, self.rew, self.end, self.trunc, perm_d)
             for e, off in new_offsets:
                 self.ep_offset[e] = off
+            if drop_grow:
+                self.ep_offset[grow_ep] = -1  # region reclaimed by this pack
+                self.ep_len[grow_ep] = 0      # caller re-uploads the whole episode
             self.next_free = pos
             self.waste_steps = 0
             self.compactions += 1
@@ -202,10 +220,12 @@ class DeviceEpisodeStore:
                     continue
                 ep = dataset.load_episode(ep_id)
                 # worst case is a whole-episode (re)upload; compaction inside
-                # _ensure_room can re-pack the ring, so re-test the tail condition after
+                # _ensure_room can re-pack the ring (possibly dropping THIS episode's
+                # doomed region, see grow_ep), so re-read state after
                 self._ensure_room(length if self.ep_offset[ep_id] < 0
                                   or self.ep_offset[ep_id] + have != self.next_free
-                                  else length - have)
+                                  else length - have, grow_ep=ep_id)
+                have = int(self.ep_len[ep_id])  # an excluding pack zeroes it
                 if self.ep_offset[ep_id] >= 0 and \
                         self.ep_offset[ep_id] + have == self.next_free:
                     # tail episode grew (possibly post-compaction): append the suffix only

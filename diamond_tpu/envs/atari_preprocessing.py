@@ -78,12 +78,12 @@ class AtariPreprocessing(_GymWrapper):
             _, reward, terminated, truncated, info = self.env.step(action)
             total_reward += float(reward)
             new_lives = self.ale.lives()
-            # Deliberate deviation: the reference flags ANY lives decrease as life_loss
-            # (reference src/envs/atari_preprocessing.py:76-78); we require new_lives > 0
-            # so the LAST life's loss is not double-signalled — `terminated` is set on the
-            # same step and DoneOnLifeLoss ORs the two, so downstream behavior is identical
-            # (tested: tests/test_fake_ale_stack.py life-loss protocol cases).
-            life_loss = life_loss or (new_lives < self.lives and new_lives > 0)
+            # Reference parity: ANY lives decrease flags life_loss, including the last
+            # life (reference src/envs/atari_preprocessing.py:75-77). Double-signalling on
+            # the terminal step is harmless — DoneOnLifeLoss ORs life_loss into the
+            # already-True end — and the any-decrease rule also covers games whose
+            # game_over lags the final lives decrement past the frame-skip window.
+            life_loss = life_loss or new_lives < self.lives
             self.lives = new_lives
             if terminated or truncated:
                 break

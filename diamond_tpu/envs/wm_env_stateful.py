@@ -107,10 +107,14 @@ class WorldModelEnv:
 
     def _ics_to_buffer(self, obs_u8: jnp.ndarray) -> jnp.ndarray:
         """uint8 IC frames -> the uint8 imagination buffer (downsampled in two-stage
-        mode; the grid quantization makes the uint8 round-trip lossless)."""
+        mode; the grid quantization makes the uint8 round-trip lossless). Stays on
+        device: a host round-trip here would leak host staging per H2D byte on the
+        tunneled platform (CLAUDE.md)."""
         if self._factor == 1:
             return obs_u8
-        return obs_to_uint8(np.asarray(self._to_buffer_res(obs_to_float(obs_u8))))
+        from ..data.episode import obs_to_uint8_device
+
+        return obs_to_uint8_device(self._to_buffer_res(obs_to_float(obs_u8)))
 
     def reset(self, seed: Optional[Any] = None, **kwargs) -> Tuple[np.ndarray, Dict]:
         if seed is not None:

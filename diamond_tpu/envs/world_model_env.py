@@ -78,6 +78,20 @@ class ICPool(struct.PyTreeNode):
         return self.obs.shape[0]
 
 
+def encode_pool_feats(actor_critic: ActorCritic, ac_vars: Variables,
+                      obs_u8: jnp.ndarray) -> jnp.ndarray:
+    """Policy-trunk features of a pool's conditioning frames (ICPool.feats,
+    tpu.pool_policy_feats): (P, n_cond, H, W, C) uint8 -> (P, n_cond, F).
+
+    The single definition of the production feats layout — PoolManager, bench.py and the
+    multichip dryrun all route through this so a change here can't silently fork what the
+    bench measures from what the trainer runs. Traceable; callers jit (and chunk the pool
+    dim — a full pool at once is hundreds of MB of activations)."""
+    p, t = obs_u8.shape[:2]
+    flat = obs_to_float(obs_u8.reshape((p * t,) + obs_u8.shape[2:]))
+    return actor_critic.encode(ac_vars, flat).reshape(p, t, -1)
+
+
 class ImagState(struct.PyTreeNode):
     """Per-env imagination state carried across AC train steps (the rolling buffers +
     recurrent carries of reference world_model_env.py:47-53 and env_loop.py:18-19)."""
@@ -157,7 +171,7 @@ class ImaginationEngine:
         # rew/end here is stop-gradient inference: with tpu.int8_rollout and calibrated
         # r_vars (RewEndModel.calibrate), its encoder convs take the same static int8 MXU
         # path as the denoiser's (ops/quant.py). Training losses never pass through here.
-        r_int8 = quant.default_enabled() and "quant" in r_vars
+        r_int8 = "quant" in r_vars  # structural gate, same as DiffusionSampler.sample
         with quant.int8_rollout_scope(r_int8):
             logits_rew, logits_end, (re_hx, re_cx) = self.rew_end_model.predict_rew_end(
                 r_vars, prev_obs[:, -1:], act_buffer[:, -1:], next_obs[:, None],
@@ -358,11 +372,7 @@ class PoolManager:
         self._pending_error: Optional[BaseException] = None
 
     def _feats_fn(self, ac_vars: Variables, obs_u8: jnp.ndarray) -> jnp.ndarray:
-        """Policy-trunk features of every conditioning frame: (n, n_cond, H, W, C) uint8
-        -> (n, n_cond, F)."""
-        n, t = obs_u8.shape[:2]
-        flat = obs_to_float(obs_u8.reshape((n * t,) + obs_u8.shape[2:]))
-        return self.engine.actor_critic.encode(ac_vars, flat).reshape(n, t, -1)
+        return encode_pool_feats(self.engine.actor_critic, ac_vars, obs_u8)
 
     def build_pool(self, r_vars: Variables, ac_vars: Optional[Variables] = None) -> ICPool:
         """Synchronous full build (burn-in uses the given reward/end weights; with
@@ -402,6 +412,17 @@ class PoolManager:
         like the reference preloading at reset time)."""
         if not self.background:
             return
+
+        # SNAPSHOT the weights (device-side copy) before handing them to the thread: the
+        # caller's very next dispatch is a train step that DONATES these exact param
+        # buffers (training.py donate_argnums), and a background dispatch against a
+        # donated array is a use-after-free — "Array has been deleted" on strict
+        # backends, or a poisoned read over the tunnel PJRT (the INVALID_ARGUMENT crash
+        # at an AC pool-refill boundary in /root/runs_r3/seed1). The synchronous
+        # build_pool path needs no copy: its dispatches all precede the donating call.
+        r_vars = jax.tree_util.tree_map(jnp.copy, r_vars)
+        if ac_vars is not None:
+            ac_vars = jax.tree_util.tree_map(jnp.copy, ac_vars)
 
         def work() -> None:
             try:

@@ -89,11 +89,13 @@ class DiffusionSampler:
         cfg = self.cfg
         b, t, h, w, c = prev_obs.shape
         prev_obs = jnp.moveaxis(prev_obs, 1, 3).reshape(b, h, w, t * c)
-        # int8 needs calibrated static activation scales (the "quant" collection,
-        # see calibrate()); uncalibrated variables run the bf16 path even when the
-        # switch is on. During a calibration pass the scope stays active so the convs
-        # observe (ops/quant.py calibrating()).
-        enabled = quant.calibrating() or (quant.default_enabled() and "quant" in variables)
+        # STRUCTURAL int8 gate: quantize iff the variables carry calibrated static
+        # activation scales (the "quant" collection, see calibrate()). The presence of
+        # the collection changes the variables' pytree structure, so it IS part of the
+        # jit cache key — unlike a process global, which an already-compiled rollout
+        # would bake in. Uncalibrated variables run the bf16 path. During a calibration
+        # pass the scope stays active so the convs observe (ops/quant.py calibrating()).
+        enabled = quant.calibrating() or "quant" in variables
         with quant.int8_rollout_scope(enabled):
             return self._sample_inner(variables, rng, prev_obs, prev_act,
                                       return_trajectory, x_init, b, h, w, c)

@@ -27,32 +27,26 @@ only entered inside DiffusionSampler.sample, so the denoiser/upsampler LOSSES (a
 other model) stay bf16/f32 exactly as before, and uncalibrated variables (no "quant"
 collection) run the bf16 path even when the switch is on.
 
-Enable with DIAMOND_TPU_INT8=1 (benchmark A/B) or config tpu.int8_rollout=True.
+Enablement is STRUCTURAL: convs quantize iff the variables carry a calibrated "quant"
+collection AND the trace is inside a sampler int8 scope. The opt-in switches
+(config tpu.int8_rollout, bench.py's DIAMOND_TPU_INT8) only decide whether calibration
+runs and the collection is injected — there is deliberately no process-global in the
+trace-time decision, because a global is not part of the jit cache key: an
+already-compiled rollout would keep its baked-in choice after the global flipped
+(code-review round 3).
 """
 
 from __future__ import annotations
 
 import contextlib
 import contextvars
-import os
 
 import jax
 import jax.numpy as jnp
 
-# default: process-wide switch (env var or trainer config); the contextvar scopes it to
-# sampler traces so training losses are never quantized even when the switch is on.
-_DEFAULT = os.environ.get("DIAMOND_TPU_INT8", "0") == "1"
+# scopes the int8 path to sampler traces so training losses are never quantized even
+# when the same calibrated variables are in scope.
 _ACTIVE = contextvars.ContextVar("diamond_tpu_int8_active", default=False)
-
-
-def set_default(enabled: bool) -> None:
-    """Process-wide opt-in (trainer reads config tpu.int8_rollout and calls this)."""
-    global _DEFAULT
-    _DEFAULT = bool(enabled)
-
-
-def default_enabled() -> bool:
-    return _DEFAULT
 
 
 def active() -> bool:

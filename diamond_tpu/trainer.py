@@ -75,9 +75,8 @@ class Trainer:
         self._r_quant_coll = None  # rew/end twin of the above
         self._r_quant_step = -1
         if self._int8_rollout:
-            from .ops import quant
-
-            quant.set_default(True)  # sampler-scope int8 convs (ops/quant.py)
+            # structural opt-in: _wm_infer_variables/_rew_end_infer_variables inject the
+            # calibrated "quant" collection, which is what enables int8 (ops/quant.py)
             print("int8 rollout inference enabled (tpu.int8_rollout)")
 
         # Data parallelism: a `data` mesh axis over all local devices (parallel/mesh.py).

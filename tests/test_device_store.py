@@ -157,6 +157,60 @@ def test_store_compaction_reclaims_orphans(tmp_path):
         store.sync(ds)
 
 
+def test_store_compaction_drops_doomed_region(tmp_path):
+    """A non-tail episode growing with ZERO pre-existing waste: its own region is doomed
+    (the relocation will orphan it), so the pack must reclaim it in the same gather —
+    capacity 20 with ep0(8)+ep1(8) and ep0 growing to 12 only fits that way (code-review
+    round 3: previously the pack kept the doomed region and the upload overflowed)."""
+    rng = np.random.default_rng(11)
+    ds = Dataset(tmp_path / "ds", "ds")
+    eps = [make_ep(rng, 8, with_final=False, alive=True),
+           make_ep(rng, 8, with_final=False, alive=True)]
+    for e in eps:
+        ds.add_episode(e)
+    store = DeviceEpisodeStore(20, (H, W, 3))
+    store.sync(ds)
+    assert store.waste_steps == 0
+
+    eps[0] = eps[0] + make_ep(rng, 4, with_final=False, alive=True)
+    ds.add_episode(eps[0], episode_id=0)
+    store.sync(ds)  # 8+8 live + 12 new would need 28 > 20 without dropping ep0's region
+
+    assert store.compactions == 1
+    assert store.next_free == 20 and store.waste_steps == 0
+    ids = [SegmentId(0, 2, 10), SegmentId(1, 0, 8), SegmentId(0, 4, 12)]
+    assert_batches_equal(store.make_batch(ids), host_batch(ds, ids))
+
+
+def test_store_grow_top_episode_appends_suffix(tmp_path):
+    """The max-offset live episode growing past the free tail is packed LAST (kept, not
+    dropped) so the sync appends only the suffix — the H2D-leak-minimizing direction."""
+    rng = np.random.default_rng(12)
+    ds = Dataset(tmp_path / "ds", "ds")
+    eps = [make_ep(rng, 8, with_final=False, alive=True),
+           make_ep(rng, 8, with_final=False, alive=True)]
+    for e in eps:
+        ds.add_episode(e)
+    store = DeviceEpisodeStore(24, (H, W, 3))
+    store.sync(ds)
+    # orphan ep0's region (relocate it): ep0 grows -> dropped+reuploaded at tail
+    eps[0] = eps[0] + make_ep(rng, 2, with_final=False, alive=True)
+    ds.add_episode(eps[0], episode_id=0)
+    store.sync(ds)  # layout now: [ep1(8)][ep0(10)], free 6
+    assert int(store.ep_offset[0]) > int(store.ep_offset[1])
+    # ep0 is now the TOP episode; growing it by 8 (free tail 6) must compact but keep
+    # ep0 (it has nothing reclaimable; waste is 0) -> suffix append after... with zero
+    # waste and ep0 on top, compaction is a no-op and the append must still fit: grow by 6
+    eps[0] = eps[0] + make_ep(rng, 6, with_final=False, alive=True)
+    ds.add_episode(eps[0], episode_id=0)
+    before = store.compactions
+    store.sync(ds)
+    assert store.compactions == before  # no pack needed: suffix fits the free tail
+    assert int(store.ep_len[0]) == 16 and store.next_free == 24
+    ids = [SegmentId(0, 8, 16), SegmentId(1, 0, 8)]
+    assert_batches_equal(store.make_batch(ids), host_batch(ds, ids))
+
+
 def test_store_on_mesh_shards_batches(tmp_path):
     """With a data-parallel mesh, the ring is replicated and gathered batches come out
     sharded on the batch axis — identical values to the host path."""

@@ -104,9 +104,11 @@ def test_game_over_autoresets_same_step():
         env._venv.close()
 
 
-def test_life_loss_flag_not_set_on_final_life():
-    # unwrapped protocol check: losing the LAST life is termination, not life_loss
-    # (reference: src/envs/atari_preprocessing.py life_loss requires new_lives > 0)
+def test_life_loss_flag_any_decrease_including_final_life():
+    # unwrapped protocol check: ANY lives decrease flags life_loss, INCLUDING the last
+    # life's loss on the terminal step (reference src/envs/atari_preprocessing.py:75-77 —
+    # the reference has no new_lives > 0 guard; DoneOnLifeLoss makes the terminal-step
+    # flag a harmless double signal)
     from diamond_tpu.envs.atari_preprocessing import AtariPreprocessing
     import gymnasium
     register_fake_ale()
@@ -122,9 +124,9 @@ def test_life_loss_flag_not_set_on_final_life():
             end_step = t
             break
     # lives: 3 -> 2 at raw frame 25 (step 6), 2 -> 1 at 50 (step 12), 1 -> 0 at 75 (step 18)
-    assert life_loss_steps == [6, 12]
+    assert life_loss_steps == [6, 12, 18]
     assert end_step == 18
-    assert not info["life_loss"]
+    assert info["life_loss"]  # terminal step: life loss AND termination, like the reference
     env.close()
 
 

@@ -174,6 +174,44 @@ def test_pool_manager_background_failure_surfaces(setup):
     mgr.wait_pending()
 
 
+def test_pool_manager_kick_survives_donated_weights(setup):
+    """_kick must SNAPSHOT the weights it hands to the background thread: the caller's
+    next dispatch is a train step that DONATES those exact param buffers, and a background
+    dispatch against a donated array is a use-after-free (the seed1 INVALID_ARGUMENT crash
+    at an AC pool-refill boundary, round 3). Donation is simulated deterministically with
+    Array.delete() — CPU jit ignores donate_argnums, the tunnel PJRT does not."""
+    from diamond_tpu.envs.world_model_env import PoolManager
+
+    engine, d_vars, r_vars, ac_vars = setup
+    # fresh buffers owned by this test (the fixture is module-scoped; don't delete its arrays)
+    r_mine = jax.tree_util.tree_map(jnp.copy, r_vars)
+    ac_mine = jax.tree_util.tree_map(jnp.copy, ac_vars)
+
+    class _FakeSampler:
+        def sample(self):
+            return list(range(8))
+
+    rng = np.random.default_rng(7)
+
+    class _Seg:
+        def __init__(self):
+            self.obs = rng.integers(0, 255, (NC, IMG, IMG, C), dtype=np.uint8)
+            self.act = rng.integers(0, NA, (NC,)).astype(np.int64)
+
+    ds = {i: _Seg() for i in range(8)}
+    mgr = PoolManager(engine, ds, _FakeSampler(), pool_size=8, chunk=8, background=True,
+                      policy_feats=True)
+    pool, swapped = mgr.ensure(None, r_mine, max_consumption=1, ac_vars=ac_mine)
+    assert swapped
+    # simulate the donating train step consuming the caller's buffers right after ensure()
+    for leaf in jax.tree_util.tree_leaves(r_mine) + jax.tree_util.tree_leaves(ac_mine):
+        leaf.delete()
+    mgr.wait_pending()  # raises if the background build dispatched against deleted arrays
+    assert mgr._next_pool is not None
+    assert bool(jnp.isfinite(mgr._next_pool.feats).all())
+    assert bool(jnp.isfinite(mgr._next_pool.hx).all())
+
+
 def test_pool_policy_feats_matches_encode_path(setup):
     """With ICPool.feats precomputed from the SAME policy weights, the rollout must produce
     the same trajectory as the per-step batched-encode path (the gather replaces an encode

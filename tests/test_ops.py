@@ -155,9 +155,10 @@ def test_conv3x3_q8_approximates_f32_conv():
 
 
 def test_int8_scope_confines_quantization_to_sampler():
-    """With the int8 default ON, DiffusionSampler.sample quantizes (output differs from
+    """With calibrated variables, DiffusionSampler.sample quantizes (output differs from
     the f32 sample but stays frame-close), while Denoiser.loss traced OUTSIDE the scope
-    is bit-identical to the unquantized loss."""
+    is bit-identical to the unquantized loss — even when the variables carry the quant
+    collection (structural enablement, ops/quant.py)."""
     from diamond_tpu.models import (Denoiser, DenoiserConfig, DiffusionSampler,
                                     DiffusionSamplerConfig, InnerModelConfig,
                                     SigmaDistributionConfig)
@@ -189,33 +190,31 @@ def test_int8_scope_confines_quantization_to_sampler():
     bmask = jnp.ones((2, 4), bool)
     loss_f32, _ = den.loss(v, bobs, bact, bmask, jax.random.PRNGKey(2), sig)
 
-    quant.set_default(True)
-    try:
-        # uncalibrated variables run the bf16 path even with the switch on
-        x_nocal, _ = sampler.sample(v, jax.random.PRNGKey(1), prev_obs, act, x_init=x_init)
-        assert np.array_equal(np.asarray(x_nocal), np.asarray(x_f32))
-        # calibration augments variables with static per-conv activation scales
-        v_cal = sampler.calibrate(v, jax.random.PRNGKey(9), prev_obs, act)
-        assert "quant" in v_cal and len(jax.tree_util.tree_leaves(v_cal["quant"])) > 0
-        x_q8, _ = sampler.sample(v_cal, jax.random.PRNGKey(1), prev_obs, act,
-                                 x_init=x_init)
-        # the raw inner-model output (pre uint8-grid rounding) must show quantization:
-        # different from f32 but close (int8 error, not garbage)
-        obs_cat = jnp.moveaxis(prev_obs, 1, 3).reshape(2, 8, 8, 6)
-        cs = den.compute_conditioners(jnp.full((2,), 1.3))
-        with quant.int8_rollout_scope(True):
-            # same call shape as the sampler (cached obs features): the calibration pass
-            # only visits the conv sites of this path
-            feats_q = den.compute_obs_features(v_cal, obs_cat)
-            mo_q = den.compute_model_output(v_cal, x_init, obs_cat, act, cs, feats_q)
-        feats_f = den.compute_obs_features(v, obs_cat)
-        mo_f = den.compute_model_output(v, x_init, obs_cat, act, cs, feats_f)
-        d_mo = float(jnp.abs(mo_q - mo_f).max())
-        assert d_mo > 0, "calibrated int8 convs should perturb the raw model output"
-        assert d_mo <= 0.1 * float(jnp.abs(mo_f).max()) + 0.05, d_mo
-        loss_q8, _ = den.loss(v, bobs, bact, bmask, jax.random.PRNGKey(2), sig)
-    finally:
-        quant.set_default(False)
+    # enablement is STRUCTURAL (ops/quant.py): uncalibrated variables always run bf16
+    x_nocal, _ = sampler.sample(v, jax.random.PRNGKey(1), prev_obs, act, x_init=x_init)
+    assert np.array_equal(np.asarray(x_nocal), np.asarray(x_f32))
+    # calibration augments variables with static per-conv activation scales
+    v_cal = sampler.calibrate(v, jax.random.PRNGKey(9), prev_obs, act)
+    assert "quant" in v_cal and len(jax.tree_util.tree_leaves(v_cal["quant"])) > 0
+    x_q8, _ = sampler.sample(v_cal, jax.random.PRNGKey(1), prev_obs, act,
+                             x_init=x_init)
+    # the raw inner-model output (pre uint8-grid rounding) must show quantization:
+    # different from f32 but close (int8 error, not garbage)
+    obs_cat = jnp.moveaxis(prev_obs, 1, 3).reshape(2, 8, 8, 6)
+    cs = den.compute_conditioners(jnp.full((2,), 1.3))
+    with quant.int8_rollout_scope(True):
+        # same call shape as the sampler (cached obs features): the calibration pass
+        # only visits the conv sites of this path
+        feats_q = den.compute_obs_features(v_cal, obs_cat)
+        mo_q = den.compute_model_output(v_cal, x_init, obs_cat, act, cs, feats_q)
+    feats_f = den.compute_obs_features(v, obs_cat)
+    mo_f = den.compute_model_output(v, x_init, obs_cat, act, cs, feats_f)
+    d_mo = float(jnp.abs(mo_q - mo_f).max())
+    assert d_mo > 0, "calibrated int8 convs should perturb the raw model output"
+    assert d_mo <= 0.1 * float(jnp.abs(mo_f).max()) + 0.05, d_mo
+    # the training loss never enters the sampler scope, so even variables CARRYING the
+    # quant collection must produce the bit-identical unquantized loss
+    loss_q8, _ = den.loss(v_cal, bobs, bact, bmask, jax.random.PRNGKey(2), sig)
 
     assert np.array_equal(np.asarray(loss_f32), np.asarray(loss_q8)), \
         "training loss must never be quantized"
@@ -260,20 +259,17 @@ def test_int8_rew_end_inference_path():
     hasf = jnp.zeros((2,), bool)
     loss_f32, _ = m.loss(v, bobs, bact, brew, bend, bmask, fobs, hasf)
 
-    quant.set_default(True)
-    try:
-        v_cal = m.calibrate(v, obs, act, nxt)
-        assert "quant" in v_cal and len(jax.tree_util.tree_leaves(v_cal["quant"])) > 0
-        with quant.int8_rollout_scope(True):
-            lr_q, le_q, _ = m.predict_rew_end(v_cal, obs, act, nxt)
-        d = float(jnp.abs(lr_q - lr_f).max())
-        scale = float(jnp.abs(lr_f).max())
-        assert d > 0, "calibrated int8 convs should perturb the logits"
-        assert d <= 0.1 * scale + 0.05, (d, scale)
-        assert float(jnp.abs(le_q - le_f).max()) <= 0.1 * float(jnp.abs(le_f).max()) + 0.05
-        loss_q8, _ = m.loss(v, bobs, bact, brew, bend, bmask, fobs, hasf)
-    finally:
-        quant.set_default(False)
+    v_cal = m.calibrate(v, obs, act, nxt)
+    assert "quant" in v_cal and len(jax.tree_util.tree_leaves(v_cal["quant"])) > 0
+    with quant.int8_rollout_scope(True):
+        lr_q, le_q, _ = m.predict_rew_end(v_cal, obs, act, nxt)
+    d = float(jnp.abs(lr_q - lr_f).max())
+    scale = float(jnp.abs(lr_f).max())
+    assert d > 0, "calibrated int8 convs should perturb the logits"
+    assert d <= 0.1 * scale + 0.05, (d, scale)
+    assert float(jnp.abs(le_q - le_f).max()) <= 0.1 * float(jnp.abs(le_f).max()) + 0.05
+    # loss never enters the int8 scope: bit-identical even with the quant collection
+    loss_q8, _ = m.loss(v_cal, bobs, bact, brew, bend, bmask, fobs, hasf)
 
     assert np.array_equal(np.asarray(loss_f32), np.asarray(loss_q8)), \
         "rew/end training loss must never be quantized"
