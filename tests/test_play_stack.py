@@ -128,6 +128,41 @@ def _batch1_wm(stack):
                          seed=5)
 
 
+def test_wm_env_int8_play_path(stack):
+    """play --int8: calibrated variables carried by the stateful WM env's getters flip
+    the sampler + rew/end rollout to the int8 path (structural gate, ops/quant.py);
+    stepping stays finite and on the uint8 display grid."""
+    from diamond_tpu.data.episode import obs_to_float
+
+    engine, ac, ac_vars, _ = stack
+    rng = np.random.default_rng(2)
+    prepare = make_ic_preparer(engine.rew_end_model)
+    r_vars = engine.rew_end_model.init(jax.random.PRNGKey(20))
+    d_vars = engine.denoiser.init(jax.random.PRNGKey(21), img_size=IMG)
+
+    def provider(n):
+        obs = rng.integers(0, 255, (n, NC, IMG, IMG, C), dtype=np.uint8)
+        act = rng.integers(0, NA, (n, NC)).astype(np.int32)
+        hx, cx = prepare(r_vars, jnp.asarray(obs), jnp.asarray(act))
+        return obs, act, np.asarray(hx), np.asarray(cx)
+
+    # the play.py --int8 startup sequence
+    obs_u8, cal_act, _hx, _cx = provider(4)
+    obs_f = obs_to_float(jnp.asarray(obs_u8))
+    cal_act = jnp.asarray(cal_act, jnp.int32)
+    d_cal = engine.sampler.calibrate(d_vars, jax.random.PRNGKey(11), obs_f, cal_act)
+    r_cal = engine.rew_end_model.calibrate(r_vars, obs_f[:, -2:-1], cal_act[:, -2:-1],
+                                           obs_f[:, -1:])
+    assert "quant" in d_cal and "quant" in r_cal
+
+    env = WorldModelEnv(engine, lambda: d_cal, lambda: r_cal, provider, num_envs=1, seed=6)
+    obs, _ = env.reset()
+    for _ in range(3):
+        obs, rew, end, trunc, info = env.step(np.zeros(1, np.int32))
+    assert obs.dtype == np.uint8 and obs.shape == (1, IMG, IMG, C)
+    assert np.isfinite(np.asarray(rew)).all()
+
+
 def test_game_loop_headless_two_stage(tmp_path, monkeypatch):
     """Two-stage play: low-res dynamics + upsampled display, policy control downsamples
     its input to the dynamics resolution (game/play_env.py)."""
