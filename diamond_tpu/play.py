@@ -34,8 +34,8 @@ def parse_args(argv=None):
                    help="world-model horizon during play (reference play.py:81)")
     p.add_argument("--int8", action="store_true",
                    help="calibrate the world model for int8 MXU inference (one observe "
-                        "pass at startup, then ~16%% faster imagination; single-stage "
-                        "models only)")
+                        "pass at startup, then ~16%% faster imagination; two-stage "
+                        "models calibrate all stages)")
     p.add_argument("--smoke", type=int, default=0,
                    help="headless smoke: run N frames and exit (SDL_VIDEODRIVER=dummy)")
     return p.parse_args(argv)
@@ -174,24 +174,35 @@ def main(argv=None) -> None:
                          u_vars_getter=lambda: agent.variables["upsampler"])
 
     if args.int8:
-        # int8 MXU inference for the play-time world model (ops/quant.py): one eager
+        # int8 MXU inference for the play-time world model (ops/quant.py): one jitted
         # observe pass over seed ICs yields the "quant" collection; carrying it in the
-        # variables is the enablement (structural gate — the sampler and the rew/end
-        # rollout scope pick it up, training/e2e paths elsewhere are untouched).
-        if factor > 1:
-            print("--int8: two-stage models not supported yet, running bf16")
-        else:
-            from .data.episode import obs_to_float
+        # variables is the enablement (structural gate — the sampler, the rew/end rollout
+        # scope, and in two-stage mode the upsampler stage all pick it up; training/e2e
+        # paths elsewhere are untouched).
+        from .data.episode import obs_to_float
 
-            print("calibrating int8 world-model inference…")
-            obs_u8, cal_act, _hx, _cx = provider(8)
-            obs_f = obs_to_float(jnp.asarray(obs_u8))
-            cal_act = jnp.asarray(cal_act, jnp.int32)
-            agent.variables["denoiser"] = engine.sampler.calibrate(
-                agent.variables["denoiser"], jax.random.PRNGKey(11), obs_f, cal_act)
-            agent.variables["rew_end_model"] = agent.rew_end_model.calibrate(
-                agent.variables["rew_end_model"], obs_f[:, -2:-1], cal_act[:, -2:-1],
-                obs_f[:, -1:])
+        print("calibrating int8 world-model inference…")
+        obs_u8, cal_act, _hx, _cx = provider(8)
+        obs_f = obs_to_float(jnp.asarray(obs_u8))
+        cal_act = jnp.asarray(cal_act, jnp.int32)
+        if factor > 1:
+            # dynamics + rew/end run at the low (dynamics) resolution in two-stage mode
+            from .models.denoiser import (downsample_avg, quantize_to_uint8_grid,
+                                          upsample_frame)
+            obs_f = quantize_to_uint8_grid(downsample_avg(obs_f, factor))
+        agent.variables["denoiser"] = engine.sampler.calibrate(
+            agent.variables["denoiser"], jax.random.PRNGKey(11), obs_f, cal_act)
+        agent.variables["rew_end_model"] = agent.rew_end_model.calibrate(
+            agent.variables["rew_end_model"], obs_f[:, -2:-1], cal_act[:, -2:-1],
+            obs_f[:, -1:])
+        if factor > 1:
+            # the upsampler stage: same sampler cfg the env's cascade uses
+            from .models.diffusion_sampler import DiffusionSampler
+
+            up_s = DiffusionSampler(agent.upsampler, engine.sampler.cfg)
+            cond = upsample_frame(obs_f[:, -1], factor)
+            agent.variables["upsampler"] = up_s.calibrate(
+                agent.variables["upsampler"], jax.random.PRNGKey(12), cond[:, None], None)
     wm_env = WorldModelEnv(engine, lambda: agent.variables["denoiser"],
                            lambda: agent.variables["rew_end_model"], provider, num_envs=1,
                            return_denoising_trajectory=args.record, **up_kwargs)

@@ -366,6 +366,69 @@ def test_two_stage_stateful_env():
     assert saw_dead
 
 
+def test_two_stage_stateful_env_int8():
+    """play --int8 on a two-stage model: all three stages (low-res dynamics, rew/end,
+    upsampler) calibrated, and the stateful env runs on the int8 path with display
+    frames still full-res uint8."""
+    from diamond_tpu.data.episode import obs_to_float
+    from diamond_tpu.envs.world_model_env import ImaginationEngine, WorldModelEnvConfig
+    from diamond_tpu.envs.wm_env_stateful import WorldModelEnv
+    from diamond_tpu.models import (ActorCritic, ActorCriticConfig, RewEndModel,
+                                    RewEndModelConfig)
+    from diamond_tpu.models.denoiser import (downsample_avg, quantize_to_uint8_grid,
+                                             upsample_frame)
+    from diamond_tpu.models.diffusion_sampler import DiffusionSampler
+
+    NA, NC, LOW, HIGH, F = 3, 2, 8, 16, 2
+    low_model = Denoiser(DenoiserConfig(
+        inner_model=InnerModelConfig(img_channels=3, num_steps_conditioning=NC,
+                                     cond_channels=16, depths=[1], channels=[8],
+                                     attn_depths=[0], num_actions=NA),
+        sigma_data=0.5, sigma_offset_noise=0.3))
+    up_model = make_upsampler(factor=F)
+    rew_end = RewEndModel(RewEndModelConfig(lstm_dim=16, img_channels=3, img_size=LOW,
+                                            cond_channels=8, depths=[1], channels=[8],
+                                            attn_depths=[0], num_actions=NA))
+    ac = ActorCritic(ActorCriticConfig(lstm_dim=16, img_channels=3, img_size=LOW,
+                                       channels=[8], down=[1], num_actions=NA))
+    k = jax.random.PRNGKey(0)
+    d_vars = low_model.init(k, img_size=LOW)
+    u_vars = up_model.init(k, img_size=HIGH)
+    r_vars = rew_end.init(jax.random.PRNGKey(1))
+
+    engine = ImaginationEngine(low_model, rew_end, ac, WorldModelEnvConfig(
+        horizon=2, num_batches_to_preload=1,
+        diffusion_sampler=DiffusionSamplerConfig(num_steps_denoising=2)))
+
+    rng = np.random.default_rng(3)
+
+    def provider(n):
+        obs = rng.integers(0, 255, (n, NC, HIGH, HIGH, 3), dtype=np.uint8)
+        act = rng.integers(0, NA, (n, NC)).astype(np.int32)
+        return obs, act, np.zeros((n, 16), np.float32), np.zeros((n, 16), np.float32)
+
+    # the play.py --int8 two-stage startup sequence
+    obs_u8, cal_act, _hx, _cx = provider(4)
+    obs_f = quantize_to_uint8_grid(downsample_avg(obs_to_float(jnp.asarray(obs_u8)), F))
+    cal_act = jnp.asarray(cal_act, jnp.int32)
+    d_cal = engine.sampler.calibrate(d_vars, jax.random.PRNGKey(11), obs_f, cal_act)
+    r_cal = rew_end.calibrate(r_vars, obs_f[:, -2:-1], cal_act[:, -2:-1], obs_f[:, -1:])
+    up_s = DiffusionSampler(up_model, engine.sampler.cfg)
+    u_cal = up_s.calibrate(u_vars, jax.random.PRNGKey(12),
+                           upsample_frame(obs_f[:, -1], F)[:, None], None)
+    for v in (d_cal, r_cal, u_cal):
+        assert "quant" in v and len(jax.tree_util.tree_leaves(v["quant"])) > 0
+
+    env = WorldModelEnv(engine, lambda: d_cal, lambda: r_cal, provider, num_envs=2,
+                        upsampler=up_model, u_vars_getter=lambda: u_cal)
+    obs, _ = env.reset(seed=0)
+    for t in range(2):
+        obs, rew, end, trunc, info = env.step(np.array([t % NA, (t + 1) % NA]))
+        assert obs.shape == (2, HIGH, HIGH, 3) and obs.dtype == np.uint8
+        assert np.isfinite(np.asarray(rew)).all()
+        assert info["low_res_obs"].shape == (2, LOW, LOW, 3)
+
+
 @pytest.mark.slow
 def test_upsampler_learns_super_resolution():
     """Capability: a briefly-trained upsampler reduces its denoising loss by a large factor
