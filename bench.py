@@ -123,9 +123,26 @@ def main() -> None:
         r_vars = agent.rew_end_model.calibrate(
             r_vars, obs_f[:, -2:-1], st.act_buffer[:, -2:-1], obs_f[:, -1:])
 
-    def run(key, st, pool):
-        traj, st, pool = rollout(ac_vars, d_vars, r_vars, st, pool, key, HORIZON)
-        return traj["rew"], st, pool
+    # Optional XLA:TPU backend options for the hot jit, e.g.
+    #   DIAMOND_TPU_XLA_OPTS="xla_tpu_scoped_vmem_limit_kib=65536"
+    # On this tunneled platform client-side XLA_FLAGS cannot carry TPU backend flags
+    # (the client XLA is CPU-built and rejects them); PJRT compiler_options are forwarded
+    # to and validated by the server-side compiler, so AOT lower/compile is the only route.
+    xla_opts = os.environ.get("DIAMOND_TPU_XLA_OPTS", "")
+    if xla_opts:
+        opts = dict(kv.split("=", 1) for kv in xla_opts.split(",") if kv)
+        _note(f"rollout_aot_compile {opts}")
+        rollout = rollout.lower(ac_vars, d_vars, r_vars, st, pool,
+                                jax.random.PRNGKey(1), HORIZON).compile(
+                                    compiler_options=opts)
+
+        def run(key, st, pool):
+            traj, st, pool = rollout(ac_vars, d_vars, r_vars, st, pool, key)
+            return traj["rew"], st, pool
+    else:
+        def run(key, st, pool):
+            traj, st, pool = rollout(ac_vars, d_vars, r_vars, st, pool, key, HORIZON)
+            return traj["rew"], st, pool
 
     # warmup / compile (value-forced: block_until_ready is unreliable on tunneled
     # platforms, so timings always materialize a value derived from the results)
