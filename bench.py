@@ -43,6 +43,14 @@ WATCHDOG_S = int(os.environ.get("DIAMOND_TPU_BENCH_WATCHDOG_S", "900"))
 _stage = "startup"
 
 
+def _flag(env_var: str, config_default: bool) -> bool:
+    """Config-keyed production option, env-var overridable for A/B runs."""
+    raw = os.environ.get(env_var)
+    if raw is None:
+        return bool(config_default)
+    return raw == "1"
+
+
 def _note(stage: str) -> None:
     """Progress marker: names the stage the watchdog would blame for a stall."""
     global _stage
@@ -92,10 +100,12 @@ def main() -> None:
     pool = ICPool(obs=jnp.asarray(obs_u8), act=jnp.asarray(act), hx=hx, cx=cx,
                   ptr=jnp.asarray(0, jnp.int32))
     ac_vars = agent.variables["actor_critic"]
-    # Production inference options default ON here (tpu.int8_rollout / tpu.pool_policy_feats
-    # in training; capability-gated by the fake-env schedule runs, VALIDATION.md round 3).
-    # Set the env var to 0 to measure the plain bf16 path.
-    if os.environ.get("DIAMOND_TPU_POOL_FEATS", "1") == "1":
+    # Production inference options follow the shipped config (tpu.int8_rollout /
+    # tpu.pool_policy_feats in configs/trainer.yaml) so the benched path IS the trainer's
+    # path; DIAMOND_TPU_INT8/POOL_FEATS=0|1 env vars override for A/B measurement.
+    use_pool_feats = _flag("DIAMOND_TPU_POOL_FEATS", cfg.tpu.pool_policy_feats)
+    use_int8 = _flag("DIAMOND_TPU_INT8", cfg.tpu.int8_rollout)
+    if use_pool_feats:
         # production option tpu.pool_policy_feats: precomputed policy features replace the
         # rollout's per-step batched context encode (envs/world_model_env.py ICPool.feats)
         _note("pool_feats_precompute")
@@ -111,7 +121,7 @@ def main() -> None:
     d_vars = agent.variables["denoiser"]
     r_vars = agent.variables["rew_end_model"]
 
-    if os.environ.get("DIAMOND_TPU_INT8", "1") == "1":
+    if use_int8:
         # static int8 rollout path: one jitted observe pass yields the "quant" collection
         # of per-conv activation scales (models/diffusion_sampler.py calibrate). Carrying
         # that collection in the variables IS the enablement (structural gate, ops/quant.py).
@@ -130,7 +140,15 @@ def main() -> None:
     # to and validated by the server-side compiler, so AOT lower/compile is the only route.
     xla_opts = os.environ.get("DIAMOND_TPU_XLA_OPTS", "")
     if xla_opts:
-        opts = dict(kv.split("=", 1) for kv in xla_opts.split(",") if kv)
+        opts = {}
+        for kv in xla_opts.split(","):
+            if not kv.strip():
+                continue
+            if "=" not in kv:
+                raise SystemExit(
+                    f"DIAMOND_TPU_XLA_OPTS entry {kv!r} is not of the form key=value")
+            k, v = kv.split("=", 1)
+            opts[k.strip()] = v.strip()
         _note(f"rollout_aot_compile {opts}")
         rollout = rollout.lower(ac_vars, d_vars, r_vars, st, pool,
                                 jax.random.PRNGKey(1), HORIZON).compile(

@@ -36,6 +36,9 @@ class BatchPrefetcher:
 
     def __init__(self, dataset: Dataset, sampler: BatchSampler, prefetch: int = 4,
                  to_device: bool = True, sharding=None, workers: int = 2) -> None:
+        """``workers`` mirrors the reference's ``training.num_workers_data_loaders``
+        (reference src/trainer.py:140-148): 0 = synchronous loading on the consumer
+        thread (no lookahead), N>0 = that many producer threads."""
         self.dataset = dataset
         self.sampler = sampler
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
@@ -74,7 +77,7 @@ class BatchPrefetcher:
                     continue
 
     def start(self) -> "BatchPrefetcher":
-        if not any(t.is_alive() for t in self._threads):
+        if self._workers > 0 and not any(t.is_alive() for t in self._threads):
             self._stop.clear()
             self._threads = [threading.Thread(target=self._worker, daemon=True)
                              for _ in range(self._workers)]
@@ -86,6 +89,9 @@ class BatchPrefetcher:
         self._stop.set()
 
     def __iter__(self) -> Iterator[Batch]:
+        if self._workers == 0:  # synchronous mode (num_workers_data_loaders=0)
+            while True:
+                yield self._put_device(sample_batch(self.dataset, self.sampler))
         self.start()
         while True:
             item = self._queue.get()

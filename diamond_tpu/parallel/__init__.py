@@ -1,2 +1,2 @@
 from .mesh import (DATA_AXIS, batch_sharding, make_mesh, replicate, replicated,
-                   shard_device_batch, shard_imag_state, shard_pool)
+                   select_devices, shard_device_batch, shard_imag_state, shard_pool)

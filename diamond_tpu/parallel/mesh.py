@@ -30,6 +30,33 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def select_devices(spec: Any = "all") -> list:
+    """Resolve ``common.devices`` into a device list (reference src/main.py:47-56).
+
+    The reference narrows CUDA_VISIBLE_DEVICES; here the selection picks the subset of
+    ``jax.devices()`` the mesh (and all placement) spans. Accepts ``"all"``/``None``, a
+    single index, or a sequence of indices; errors on unknown or duplicate indices.
+    """
+    devices = jax.devices()
+    if spec is None or spec == "all":
+        return list(devices)
+    idxs = [spec] if isinstance(spec, int) else list(spec)
+    if not idxs:
+        raise ValueError("common.devices: empty device selection")
+    out = []
+    seen = set()
+    for i in idxs:
+        i = int(i)
+        if not 0 <= i < len(devices):
+            raise ValueError(f"common.devices: index {i} out of range — "
+                             f"{len(devices)} device(s) visible: {devices}")
+        if i in seen:
+            raise ValueError(f"common.devices: duplicate index {i}")
+        seen.add(i)
+        out.append(devices[i])
+    return out
+
+
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     devices = list(devices) if devices is not None else jax.devices()
     return Mesh(np.array(devices), (DATA_AXIS,))

@@ -79,21 +79,28 @@ class Trainer:
             # calibrated "quant" collection, which is what enables int8 (ops/quant.py)
             print("int8 rollout inference enabled (tpu.int8_rollout)")
 
-        # Data parallelism: a `data` mesh axis over all local devices (parallel/mesh.py).
-        # Replaces the reference's mp.spawn + DDP/NCCL (reference main.py:26-44). Falls back
-        # to single-device placement when batch sizes don't divide the device count.
-        self._mesh = None
-        if cfg.get("tpu", {}).get("data_parallel", False) and len(jax.devices()) > 1:
-            from .parallel import make_mesh
+        # Data parallelism: a `data` mesh axis over the devices selected by common.devices
+        # (parallel/mesh.py; reference src/main.py:47-56 narrows CUDA_VISIBLE_DEVICES the
+        # same way). Replaces the reference's mp.spawn + DDP/NCCL (reference main.py:26-44).
+        # Falls back to single-device placement when batch sizes don't divide the selection.
+        from .parallel import make_mesh, select_devices
 
-            n = len(jax.devices())
+        self._devices = select_devices(cfg.common.get("devices", "all"))
+        self._mesh = None
+        n = len(self._devices)
+        if cfg.get("tpu", {}).get("data_parallel", False) and n > 1:
             batch_sizes = [cfg[m].training.batch_size for m in self._model_names]
             if all(b % n == 0 for b in batch_sizes):
-                self._mesh = make_mesh()
-                print(f"data-parallel mesh over {n} devices")
+                self._mesh = make_mesh(self._devices)
+                print(f"data-parallel mesh over {n} of {len(jax.devices())} devices")
             else:
                 print(f"tpu.data_parallel requested but batch sizes {batch_sizes} do not "
                       f"divide {n} devices — running replicated on one device")
+        if self._mesh is None and self._devices[0] != jax.devices()[0]:
+            # A specific non-default device was selected: a 1-device mesh routes every
+            # placement (replicate/shard_* below) onto it with unchanged semantics.
+            self._mesh = make_mesh(self._devices[:1])
+            print(f"running on selected device {self._devices[0]}")
 
         # Logging
         self.logger = MetricsLogger(self._run_dir / "metrics.jsonl", cfg.wandb)
@@ -378,8 +385,10 @@ class Trainer:
                     from .parallel import batch_sharding
 
                     sharding = batch_sharding(self._mesh)
+                workers = int(cfg.training.get("num_workers_data_loaders", 2))
                 self._prefetchers[name] = BatchPrefetcher(self.train_dataset, sampler,
-                                                          sharding=sharding).start()
+                                                          sharding=sharding,
+                                                          workers=workers).start()
         return self._prefetchers[name]
 
     def _ensure_imagination(self) -> None:

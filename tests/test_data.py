@@ -158,6 +158,21 @@ def test_prefetcher_host_mode(tmp_path):
     pf.stop()
 
 
+def test_prefetcher_synchronous_mode(tmp_path):
+    """workers=0 == the reference's num_workers_data_loaders=0: batches are assembled on
+    the consumer thread, no producer threads exist (reference src/trainer.py:140-148)."""
+    ds = Dataset(tmp_path / "d", cache_in_ram=True)
+    for i in range(3):
+        ds.add_episode(make_episode(t=12, seed=i))
+    bs = BatchSampler(ds, 0, 1, batch_size=4, seq_length=6, seed=1)
+    pf = BatchPrefetcher(ds, bs, prefetch=2, to_device=False, workers=0)
+    it = iter(pf.start())
+    b1 = next(it)
+    assert b1.obs.shape == (4, 6, 8, 8, 3)
+    assert not pf._threads  # no producer threads in synchronous mode
+    pf.stop()
+
+
 def test_traverser_pad_to_batch(tmp_path):
     ds = Dataset(tmp_path / "d", cache_in_ram=True)
     ds.add_episode(make_episode(t=11, seed=0))

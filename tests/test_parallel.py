@@ -22,6 +22,23 @@ IMG, C, NC, NA, D = 16, 3, 4, 3, 32
 B = 8  # divisible by the 8-device mesh
 
 
+def test_select_devices():
+    """common.devices resolution (reference src/main.py:47-56 semantics)."""
+    from diamond_tpu.parallel import select_devices
+
+    all_devs = jax.devices()
+    assert select_devices("all") == all_devs
+    assert select_devices(None) == all_devs
+    assert select_devices(2) == [all_devs[2]]
+    assert select_devices([1, 3, 5]) == [all_devs[1], all_devs[3], all_devs[5]]
+    with pytest.raises(ValueError, match="out of range"):
+        select_devices([0, 99])
+    with pytest.raises(ValueError, match="duplicate"):
+        select_devices([1, 1])
+    with pytest.raises(ValueError, match="empty"):
+        select_devices([])
+
+
 def build_models():
     denoiser = Denoiser(DenoiserConfig(
         inner_model=InnerModelConfig(img_channels=C, num_steps_conditioning=NC,

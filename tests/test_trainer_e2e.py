@@ -157,6 +157,42 @@ def test_data_parallel_trainer(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_device_subset_trainer(tmp_path, monkeypatch):
+    """common.devices=[2,3,4,5]: the mesh spans exactly the selected 4-of-8 subset and a
+    full train cycle runs sharded over it (reference src/main.py:47-56 selects the device
+    subset the same way via CUDA_VISIBLE_DEVICES)."""
+    import jax
+
+    assert len(jax.devices()) == 8
+    run_dir = tmp_path / "subset_run"
+    run_dir.mkdir()
+    monkeypatch.chdir(run_dir)
+    cfg = load_config("trainer", overrides=TINY_OVERRIDES + [
+        "common.devices=[2,3,4,5]",
+        "denoiser.training.batch_size=8",
+        "rew_end_model.training.batch_size=8",
+        "actor_critic.training.batch_size=8",
+        "denoiser.training.steps_first_epoch=2",
+        "rew_end_model.training.steps_first_epoch=2",
+        "actor_critic.training.steps_first_epoch=1",
+        "denoiser.training.steps_per_epoch=1",
+        "rew_end_model.training.steps_per_epoch=1",
+        "actor_critic.training.steps_per_epoch=1",
+        "collection.train.num_steps_total=90",
+        "training.num_final_epochs=1",
+        "evaluation.every=10",
+        "collection.test.num_final_episodes=1",
+    ])
+    trainer = Trainer(cfg, root_dir=tmp_path, run_dir=run_dir)
+    assert trainer._mesh is not None
+    assert list(trainer._mesh.devices.flat) == [jax.devices()[i] for i in (2, 3, 4, 5)]
+    trainer.run()
+    lines = (run_dir / "metrics.jsonl").read_text()
+    assert "denoiser/train/loss_denoising" in lines
+    assert "actor_critic/train/loss_total" in lines
+
+
+@pytest.mark.slow
 def test_e2e_train_and_resume(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     cfg = load_config("trainer", overrides=TINY_OVERRIDES)
