@@ -48,25 +48,37 @@ def _atari_chords() -> Dict[str, Tuple[int, ...]]:
 
 
 # Minimal-action-set meanings for common Atari-100k games (ALE reduced action spaces),
-# used when ale-py isn't importable to query the env directly.
+# used when the env itself cannot be queried (ale-py not importable).
 STATIC_ACTION_MEANINGS: Dict[str, List[str]] = {
     "BreakoutNoFrameskip-v4": ["NOOP", "FIRE", "RIGHT", "LEFT"],
     "PongNoFrameskip-v4": ["NOOP", "FIRE", "RIGHT", "LEFT", "RIGHTFIRE", "LEFTFIRE"],
     "BoxingNoFrameskip-v4": ATARI_ACTION_NAMES,
     "FreewayNoFrameskip-v4": ["NOOP", "UP", "DOWN"],
-    # scripted ALE double (envs/fake_ale.py FakeALE.get_action_meanings)
-    "FakeALENoFrameskip-v4": ["NOOP", "FIRE", "RIGHT", "LEFT"],
 }
 
 
 def get_action_meanings(env_id: str) -> List[str]:
+    """Per-game action meanings, derived from the live env when possible (reference
+    src/game/keymap.py:21-28), else the static fallback table for common games.
+
+    Works for any gymnasium-registered env exposing ``get_action_meanings()`` — incl. the
+    scripted ALE double (envs/fake_ale.py), which registers on demand, so the derivation
+    path is testable without ale-py."""
     try:
-        import ale_py  # noqa: F401
         import gymnasium
-        env = gymnasium.make(env_id, full_action_space=False, frameskip=1)
-        meanings = env.unwrapped.get_action_meanings()
-        env.close()
-        return list(meanings)
+        kwargs = {}
+        if env_id.startswith("FakeALE"):
+            from ..envs.fake_ale import register_fake_ale
+            register_fake_ale()
+        else:
+            import ale_py  # noqa: F401  (registers ALE ids with gymnasium)
+            kwargs = dict(full_action_space=False, frameskip=1)
+        env = gymnasium.make(env_id, **kwargs)
+        try:
+            meanings = list(env.unwrapped.get_action_meanings())
+        finally:
+            env.close()
+        return meanings
     except Exception:
         if env_id in STATIC_ACTION_MEANINGS:
             return STATIC_ACTION_MEANINGS[env_id]

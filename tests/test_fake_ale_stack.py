@@ -155,3 +155,34 @@ def test_collector_over_fake_ale(tmp_path):
             assert "final_observation" in ep.info
     finally:
         env._venv.close()
+
+
+def test_keymap_derived_from_live_env_action_meanings():
+    """Per-game keymap derivation (reference src/game/keymap.py:21-28): meanings come from
+    the live env's get_action_meanings(), not the static table — FakeALE is not in the
+    table, so this only passes via the derivation path."""
+    pygame = pytest.importorskip("pygame")
+    from diamond_tpu.game.keymap import (STATIC_ACTION_MEANINGS, get_action_meanings,
+                                         get_keymap_and_action_names)
+
+    assert FAKE_ALE_ID not in STATIC_ACTION_MEANINGS
+    meanings = get_action_meanings(FAKE_ALE_ID)
+    assert meanings == ["NOOP", "FIRE", "RIGHT", "LEFT"]  # FakeALE.get_action_meanings
+
+    keymap, names = get_keymap_and_action_names(f"atari/{FAKE_ALE_ID}")
+    assert names == meanings
+    k = pygame.key.key_code
+    assert keymap[()] == 0                     # NOOP
+    assert keymap[(k("space"),)] == 1          # FIRE
+    assert keymap[(k("right"),)] == 2
+    assert keymap[(k("left"),)] == 3
+
+
+def test_keymap_static_fallback_for_real_ale_ids():
+    """Real ALE ids cannot be constructed in this image (no ale-py) -> static table."""
+    pytest.importorskip("pygame")
+    from diamond_tpu.game.keymap import get_action_meanings
+
+    assert get_action_meanings("FreewayNoFrameskip-v4") == ["NOOP", "UP", "DOWN"]
+    with pytest.raises(ValueError, match="Unknown action meanings"):
+        get_action_meanings("NotAGameNoFrameskip-v4")
