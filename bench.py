@@ -123,15 +123,19 @@ def main() -> None:
 
     if use_int8:
         # static int8 rollout path: one jitted observe pass yields the "quant" collection
-        # of per-conv activation scales (models/diffusion_sampler.py calibrate). Carrying
+        # of per-site activation scales (models/diffusion_sampler.py calibrate). Carrying
         # that collection in the variables IS the enablement (structural gate, ops/quant.py).
-        _note("int8_calibration")
+        # DIAMOND_TPU_INT8_SITES selects site kinds for per-site A/B (default: config
+        # tpu.int8_sites; e.g. "conv3x3" = the round-3 baseline, "conv3x3,conv1x1", "all").
+        sites = os.environ.get("DIAMOND_TPU_INT8_SITES",
+                               cfg.tpu.get("int8_sites", "all"))
+        _note(f"int8_calibration sites={sites}")
         from diamond_tpu.data.episode import obs_to_float
         obs_f = obs_to_float(st.obs_buffer)
         d_vars = engine.sampler.calibrate(
-            d_vars, jax.random.PRNGKey(3), obs_f, st.act_buffer)
+            d_vars, jax.random.PRNGKey(3), obs_f, st.act_buffer, sites=sites)
         r_vars = agent.rew_end_model.calibrate(
-            r_vars, obs_f[:, -2:-1], st.act_buffer[:, -2:-1], obs_f[:, -1:])
+            r_vars, obs_f[:, -2:-1], st.act_buffer[:, -2:-1], obs_f[:, -1:], sites=sites)
 
     # Optional XLA:TPU backend options for the hot jit, e.g.
     #   DIAMOND_TPU_XLA_OPTS="xla_tpu_scoped_vmem_limit_kib=65536"

@@ -72,10 +72,78 @@ def orthogonal_conv_init(key, shape, dtype=jnp.float32):
     return jax.nn.initializers.orthogonal(column_axis=-1)(key, shape, dtype)
 
 
+class _QuantConv1x1(nn.Module):
+    """1x1 conv (== channel matmul) with the static-int8 rollout-inference path
+    (ops/quant.py, site kind "conv1x1" — covers the UNet decoder's skip/residual
+    projections and the attention qkv/out projections, VERDICT round-3 item #2).
+    Identical parameter tree to nn.Conv ('kernel' (1,1,Cin,Cout) + 'bias')."""
+
+    features: int
+    dtype: Dtype
+    use_bias: bool = True
+    kernel_init: Any = torch_conv_kernel_init
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops import quant
+
+        w = self.param("kernel", self.kernel_init, (1, 1, x.shape[-1], self.features),
+                       jnp.float32)
+        if quant.active() and quant.calibrating():
+            quant.record((*self.path, "act_scale"),
+                         jnp.max(jnp.abs(x.astype(jnp.float32)),
+                                 axis=tuple(range(x.ndim - 1))), "conv1x1")
+            y = x.astype(self.dtype) @ w[0, 0].astype(self.dtype)
+        elif quant.active() and self.has_variable("quant", "act_scale"):
+            y = quant.matmul_q8_static(x, w[0, 0],
+                                       self.get_variable("quant", "act_scale"))
+            y = y.astype(self.dtype)
+        else:
+            y = x.astype(self.dtype) @ w[0, 0].astype(self.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + b.astype(self.dtype)
+        return y
+
+
 def Conv1x1(features: int, dtype: Dtype, use_bias: bool = True,
-            kernel_init=torch_conv_kernel_init, name: Optional[str] = None) -> nn.Conv:
-    return nn.Conv(features, (1, 1), padding="VALID", use_bias=use_bias, dtype=dtype,
-                   kernel_init=kernel_init, bias_init=nn.initializers.zeros, name=name)
+            kernel_init=torch_conv_kernel_init, name: Optional[str] = None) -> nn.Module:
+    return _QuantConv1x1(features, dtype, use_bias, kernel_init, name=name)
+
+
+class QDense(nn.Module):
+    """nn.Dense twin (same parameter tree: 'kernel' (in, out) + 'bias') with the
+    static-int8 rollout-inference path (ops/quant.py, site kind "dense" — the AdaGN FiLM
+    linears, the denoiser cond projections and the rew/end head linears, VERDICT round-3
+    item #2). Training paths are untouched: without an active int8 scope (or without this
+    site's calibrated leaf) it is exactly a Dense."""
+
+    features: int
+    dtype: Dtype
+    use_bias: bool = True
+    kernel_init: Any = torch_linear_kernel_init
+    bias_init: Any = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops import quant
+
+        w = self.param("kernel", self.kernel_init, (x.shape[-1], self.features),
+                       jnp.float32)
+        if quant.active() and quant.calibrating():
+            quant.record((*self.path, "act_scale"),
+                         jnp.max(jnp.abs(x.astype(jnp.float32)),
+                                 axis=tuple(range(x.ndim - 1))), "dense")
+            y = x.astype(self.dtype) @ w.astype(self.dtype)
+        elif quant.active() and self.has_variable("quant", "act_scale"):
+            y = quant.matmul_q8_static(x, w, self.get_variable("quant", "act_scale"))
+            y = y.astype(self.dtype)
+        else:
+            y = x.astype(self.dtype) @ w.astype(self.dtype)
+        if self.use_bias:
+            b = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            y = y + b.astype(self.dtype)
+        return y
 
 
 class _LoweredConv3x3(nn.Module):
@@ -109,16 +177,19 @@ class _LoweredConv3x3(nn.Module):
             # (DiffusionSampler.calibrate) — so they are step-time inputs, not trace
             # constants, and recalibration never retraces the rollout.
             if quant.calibrating():
-                quant.record(self.path,
-                             jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(0, 1, 2)))
+                quant.record((*self.path, "act_scale"),
+                             jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(0, 1, 2)),
+                             "conv3x3")
                 y = conv3x3_lowered(x.astype(self.dtype), w.astype(self.dtype),
                                     self.strides, self.mode)
-            else:
-                assert self.has_variable("quant", "act_scale"), \
-                    "int8 rollout needs calibration (DiffusionSampler.calibrate)"
+            elif self.has_variable("quant", "act_scale"):
                 act_max = self.get_variable("quant", "act_scale")
                 y = quant.conv3x3_q8_static(x, w, act_max, self.strides) \
                     .astype(self.dtype)
+            else:
+                # site filtered out by tpu.int8_sites (no calibrated leaf): stay bf16
+                y = conv3x3_lowered(x.astype(self.dtype), w.astype(self.dtype),
+                                    self.strides, self.mode)
         else:
             y = conv3x3_lowered(x.astype(self.dtype), w.astype(self.dtype), self.strides,
                                 self.mode)
@@ -203,8 +274,8 @@ class AdaGroupNorm(nn.Module):
     def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
         num_groups = max(1, c // GN_GROUP_SIZE)
-        ss = nn.Dense(2 * c, dtype=self.dtype, kernel_init=torch_linear_kernel_init,
-                      bias_init=fan_in_bias_init(cond.shape[-1]), name="linear")(cond)
+        ss = QDense(2 * c, dtype=self.dtype, kernel_init=torch_linear_kernel_init,
+                    bias_init=fan_in_bias_init(cond.shape[-1]), name="linear")(cond)
 
         from ..ops import USE_PALLAS
 

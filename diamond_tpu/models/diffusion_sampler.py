@@ -70,7 +70,7 @@ class DiffusionSampler:
         self.cfg = cfg
         self.sigmas = build_sigmas(cfg.num_steps_denoising, cfg.sigma_min, cfg.sigma_max,
                                    cfg.rho)
-        self._calibrate_jit = None  # lazily-built jitted observe pass (calibrate())
+        self._calibrate_jit = {}  # site-selection -> jitted observe pass (calibrate())
 
     def sample(self, variables: Variables, rng: jax.Array, prev_obs: jnp.ndarray,
                prev_act: Optional[jnp.ndarray], return_trajectory: bool = False,
@@ -142,34 +142,42 @@ class DiffusionSampler:
         return x, trajectory
 
     def calibrate(self, variables: Variables, rng: jax.Array, prev_obs: jnp.ndarray,
-                  prev_act: Optional[jnp.ndarray]) -> Variables:
-        """Observe per-conv activation ranges for the static int8 rollout path and return
+                  prev_act: Optional[jnp.ndarray], sites=None) -> Variables:
+        """Observe per-site activation ranges for the static int8 rollout path and return
         ``variables`` augmented with the "quant" collection (ops/quant.py).
 
-        Runs ONE full sampling pass under jit: each Conv3x3 records its per-input-channel
-        |x| maxima into a trace-scoped registry which the jitted function returns as the
-        nested "quant" collection (the sampler's sigma loop and the U-Net are fully
-        unrolled — no lax control flow wraps the conv sites, so the recorded tracers
-        legally escape to the jit output). The scales are regular step-time inputs —
-        recalibration never retraces the jitted rollout, and the observe pass itself
-        compiles once and replays in milliseconds (the eager version cost minutes per
-        epoch over the tunneled platform). Call with representative conditioning frames
-        (e.g. a pool batch)."""
+        Runs ONE full sampling pass under jit: each quantizable site (Conv3x3, Conv1x1,
+        Dense) records its per-input-channel |x| maxima into a trace-scoped registry
+        which the jitted function returns as the nested "quant" collection (the sampler's
+        sigma loop and the U-Net are fully unrolled — no lax control flow wraps the
+        sites, so the recorded tracers legally escape to the jit output). The scales are
+        regular step-time inputs — recalibration never retraces the jitted rollout, and
+        the observe pass itself compiles once and replays in milliseconds (the eager
+        version cost minutes per epoch over the tunneled platform). Call with
+        representative conditioning frames (e.g. a pool batch).
+
+        ``sites``: which site kinds to quantize (quant.parse_sites spec; config
+        tpu.int8_sites) — unselected kinds keep the bf16 path structurally (their
+        modules find no calibrated leaf)."""
         from ..ops import quant
 
-        if self._calibrate_jit is None:
+        sites = quant.parse_sites(sites)
+        if sites not in self._calibrate_jit:
             def _observe(variables, rng, prev_obs, prev_act):
                 registry: dict = {}
                 with quant.calibration_scope(registry):
                     self.sample(variables, rng, prev_obs, prev_act)
-                assert registry, "calibration saw no conv sites"
-                return quant.registry_to_collection(registry)
+                assert registry, "calibration saw no quantizable sites"
+                return quant.registry_to_collection(registry, sites)
 
-            self._calibrate_jit = jax.jit(_observe)
+            self._calibrate_jit[sites] = jax.jit(_observe)
         # strip any stale "quant" collection so recalibration hits the same jit cache
         # entry as the first call (and the observe trace never reads it anyway)
         base = {k: v for k, v in variables.items() if k != "quant"}
-        return dict(base, quant=self._calibrate_jit(base, rng, prev_obs, prev_act))
+        coll = self._calibrate_jit[sites](base, rng, prev_obs, prev_act)
+        if not coll:  # site selection matched nothing: leave the variables unquantized
+            return base
+        return dict(base, quant=coll)
 
 
 class TwoStageSampler:

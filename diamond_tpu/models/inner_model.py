@@ -15,8 +15,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import Conv3x3, FourierFeatures, GroupNorm, UNet, torch_linear_kernel_init, \
-    fan_in_bias_init
+from .blocks import Conv3x3, FourierFeatures, GroupNorm, QDense, UNet, \
+    torch_linear_kernel_init, fan_in_bias_init
 
 Dtype = Any
 
@@ -79,12 +79,12 @@ class InnerModel(nn.Module):
             self.act_emb = nn.Embed(cfg.num_actions, cfg.cond_channels // t,
                                     dtype=self.dtype,
                                     embedding_init=nn.initializers.normal(1.0))
-        self.cond_proj_0 = nn.Dense(cfg.cond_channels, dtype=self.dtype,
-                                    kernel_init=torch_linear_kernel_init,
-                                    bias_init=fan_in_bias_init(cfg.cond_channels))
-        self.cond_proj_2 = nn.Dense(cfg.cond_channels, dtype=self.dtype,
-                                    kernel_init=torch_linear_kernel_init,
-                                    bias_init=fan_in_bias_init(cfg.cond_channels))
+        self.cond_proj_0 = QDense(cfg.cond_channels, dtype=self.dtype,
+                                  kernel_init=torch_linear_kernel_init,
+                                  bias_init=fan_in_bias_init(cfg.cond_channels))
+        self.cond_proj_2 = QDense(cfg.cond_channels, dtype=self.dtype,
+                                  kernel_init=torch_linear_kernel_init,
+                                  bias_init=fan_in_bias_init(cfg.cond_channels))
         self.conv_in = Conv3x3(cfg.channels[0], self.dtype)
         self.unet = UNet(cfg.depths, cfg.channels, cfg.attn_depths, dtype=self.dtype)
         self.norm_out = GroupNorm(dtype=self.dtype, fuse_silu=True)

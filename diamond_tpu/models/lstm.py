@@ -60,9 +60,24 @@ class LSTMCell(nn.Module):
         b_ih = self.param("bias_ih", _bias_forget_one, (4 * d,), jnp.float32)
         b_hh = self.param("bias_hh", nn.initializers.zeros, (4 * d,), jnp.float32)
 
+        from ..ops import quant
+
         dt = self.dtype
-        gates = (x.astype(dt) @ w_ih.astype(dt) + hx.astype(dt) @ w_hh.astype(dt)
-                 + (b_ih + b_hh).astype(dt))
+        if (quant.active() and not quant.calibrating()
+                and self.has_variable("quant", "act_scale")):
+            # static-int8 gate matmuls inside the stop-gradient rollout (ops/quant.py,
+            # site kind "lstm", VERDICT round-3 item #2). The input-side per-channel
+            # scales are calibrated by the LSTM wrapper OUTSIDE the nn.scan (tracers
+            # cannot escape a scan body into the registry); the hidden side needs no
+            # calibration at all: h = o*tanh(c) with o in (0,1) is strictly |h| < 1,
+            # so its scale is the static bound 1.0.
+            x_max = self.get_variable("quant", "act_scale")
+            gates = (quant.matmul_q8_static(x, w_ih, x_max)
+                     + quant.matmul_q8_static(hx, w_hh, jnp.ones((d,), jnp.float32))
+                     + (b_ih + b_hh)).astype(dt)
+        else:
+            gates = (x.astype(dt) @ w_ih.astype(dt) + hx.astype(dt) @ w_hh.astype(dt)
+                     + (b_ih + b_hh).astype(dt))
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
         g = jnp.tanh(g)
@@ -83,9 +98,20 @@ class LSTM(nn.Module):
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray, carry: Carry) -> Tuple[jnp.ndarray, Carry]:
+        from ..ops import quant
+
+        if quant.active() and quant.calibrating():
+            # Record the cell's input-side per-channel |x| maxima HERE, before the scan:
+            # the registry holds concrete/outer tracers and scan-body tracers cannot
+            # escape into it. The max over (B, T) equals the max the cell would see
+            # per step. The leaf lands at the cell's own path so the cell reads it back
+            # as its "quant" variable (broadcast below).
+            quant.record((*self.path, "cell", "act_scale"),
+                         jnp.max(jnp.abs(xs.astype(jnp.float32)),
+                                 axis=tuple(range(xs.ndim - 1))), "lstm")
         scan_cell = nn.scan(
             LSTMCell,
-            variable_broadcast="params",
+            variable_broadcast=["params", "quant"],
             split_rngs={"params": False},
             in_axes=1,
             out_axes=1,

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import Conv3x3, Downsample, ResBlocks, torch_linear_kernel_init, fan_in_bias_init
+from .blocks import Conv3x3, Downsample, QDense, ResBlocks, torch_linear_kernel_init, \
+    fan_in_bias_init
 from .lstm import LSTM
 
 Variables = Any
@@ -101,10 +102,10 @@ class RewEndNet(nn.Module):
         x = x.reshape(b, t, -1).astype(self.dtype)  # (b t) h w e -> b t (h w e)
 
         hs, carry = LSTM(cfg.lstm_dim, dtype=self.dtype, name="lstm")(x, carry)
-        y = nn.Dense(cfg.lstm_dim, dtype=self.dtype, kernel_init=torch_linear_kernel_init,
-                     bias_init=fan_in_bias_init(cfg.lstm_dim), name="head_0")(hs)
-        y = nn.Dense(3 + 2, use_bias=False, dtype=self.dtype,
-                     kernel_init=torch_linear_kernel_init, name="head_2")(nn.silu(y))
+        y = QDense(cfg.lstm_dim, dtype=self.dtype, kernel_init=torch_linear_kernel_init,
+                   bias_init=fan_in_bias_init(cfg.lstm_dim), name="head_0")(hs)
+        y = QDense(3 + 2, use_bias=False, dtype=self.dtype,
+                   kernel_init=torch_linear_kernel_init, name="head_2")(nn.silu(y))
         y = y.astype(jnp.float32)
         return y[..., :-2], y[..., -2:], carry
 
@@ -115,7 +116,7 @@ class RewEndModel:
     def __init__(self, cfg: RewEndModelConfig, dtype: Any = jnp.float32) -> None:
         self.cfg = cfg
         self.net = RewEndNet(cfg, dtype=dtype)
-        self._calibrate_jit = None  # lazily-built jitted observe pass (calibrate())
+        self._calibrate_jit = {}  # site-selection -> jitted observe pass (calibrate())
 
     def init(self, rng: jax.Array) -> Variables:
         cfg = self.cfg
@@ -136,28 +137,34 @@ class RewEndModel:
         return self.net.apply(variables, obs, act, next_obs, carry)
 
     def calibrate(self, variables: Variables, obs: jnp.ndarray, act: jnp.ndarray,
-                  next_obs: jnp.ndarray) -> Variables:
-        """Observe per-conv activation ranges for the int8 rollout path and return
+                  next_obs: jnp.ndarray, sites=None) -> Variables:
+        """Observe per-site activation ranges for the int8 rollout path and return
         ``variables`` augmented with the "quant" collection (ops/quant.py) — the rew/end
         twin of DiffusionSampler.calibrate. Inside the imagination rollout the rew/end
         forward is pure stop-gradient inference (reference src/envs/world_model_env.py:
-        92-105 under @torch.no_grad), so its encoder convs can ride the same static-
-        calibrated int8 MXU path as the denoiser's. The encoder runs before the LSTM's
-        lax.scan, so the recorded tracers legally escape to the jit output. Training
-        losses never enter the int8 scope and stay unquantized."""
+        92-105 under @torch.no_grad), so its encoder convs, head Denses and LSTM gate
+        matmuls can ride the same static-calibrated int8 MXU path as the denoiser's.
+        The encoder and heads run outside the LSTM's lax.scan, and the LSTM input scale
+        is recorded by the wrapper before the scan (models/lstm.py), so the recorded
+        tracers legally escape to the jit output. Training losses never enter the int8
+        scope and stay unquantized. ``sites``: quant.parse_sites spec (tpu.int8_sites)."""
         from ..ops import quant
 
-        if self._calibrate_jit is None:
+        sites = quant.parse_sites(sites)
+        if sites not in self._calibrate_jit:
             def _observe(variables, obs, act, next_obs):
                 registry: dict = {}
                 with quant.int8_rollout_scope(True), quant.calibration_scope(registry):
                     self.predict_rew_end(variables, obs, act, next_obs)
-                assert registry, "calibration saw no conv sites"
-                return quant.registry_to_collection(registry)
+                assert registry, "calibration saw no quantizable sites"
+                return quant.registry_to_collection(registry, sites)
 
-            self._calibrate_jit = jax.jit(_observe)
+            self._calibrate_jit[sites] = jax.jit(_observe)
         base = {k: v for k, v in variables.items() if k != "quant"}
-        return dict(base, quant=self._calibrate_jit(base, obs, act, next_obs))
+        coll = self._calibrate_jit[sites](base, obs, act, next_obs)
+        if not coll:
+            return base
+        return dict(base, quant=coll)
 
     def loss(self, variables: Variables, batch_obs: jnp.ndarray, batch_act: jnp.ndarray,
              batch_rew: jnp.ndarray, batch_end: jnp.ndarray, batch_mask: jnp.ndarray,

@@ -84,24 +84,50 @@ def calibration_scope(registry: dict):
         _CALIBRATING.reset(tok)
 
 
-def record(path, act_max) -> None:
-    """Max-merge one conv site's observed per-input-channel |x| maxima into the registry.
-    ``path``: the module path tuple (relative to the apply root)."""
+# Every quantizable site kind; the calibration site filter (tpu.int8_sites /
+# DIAMOND_TPU_INT8_SITES) selects a subset — enablement stays structural per site:
+# a module quantizes iff ITS leaf is present in the "quant" collection.
+SITES_ALL = ("conv3x3", "conv1x1", "dense", "lstm")
+
+
+def parse_sites(spec) -> frozenset:
+    """'all' | comma-separated kinds | sequence of kinds -> frozenset (validated)."""
+    if spec is None or spec == "all":
+        return frozenset(SITES_ALL)
+    names = [s.strip() for s in spec.split(",")] if isinstance(spec, str) else list(spec)
+    names = [s for s in names if s]
+    unknown = set(names) - set(SITES_ALL)
+    if unknown:
+        raise ValueError(f"unknown int8 site kind(s) {sorted(unknown)}; "
+                         f"valid: {SITES_ALL} or 'all'")
+    if not names:
+        raise ValueError("empty int8 site selection (use 'all' or a kind list)")
+    return frozenset(names)
+
+
+def record(path_and_leaf, act_max, kind: str) -> None:
+    """Max-merge one site's observed per-input-channel |x| maxima into the registry.
+    ``path_and_leaf``: module path tuple (relative to the apply root) + leaf name,
+    e.g. ``(*self.path, "act_scale")``. ``kind``: one of SITES_ALL, for site filtering."""
+    assert kind in SITES_ALL, kind
     reg = _CALIBRATING.get()
-    key = tuple(path)
+    key = tuple(path_and_leaf)
     prev = reg.get(key)
-    reg[key] = act_max if prev is None else jnp.maximum(prev, act_max)
+    reg[key] = (kind, act_max if prev is None else jnp.maximum(prev[1], act_max))
 
 
-def registry_to_collection(registry: dict) -> dict:
-    """Nest {path_tuple: act_max} into a variables collection: the "quant" twin of the
-    params tree, one ``act_scale`` leaf per calibrated conv."""
+def registry_to_collection(registry: dict, sites=None) -> dict:
+    """Nest {(*path, leaf): (kind, act_max)} into a variables collection: the "quant"
+    twin of the params tree, one leaf per calibrated site. ``sites``: keep only these
+    site kinds (None = all)."""
     out: dict = {}
-    for path, v in registry.items():
+    for path, (kind, v) in registry.items():
+        if sites is not None and kind not in sites:
+            continue
         node = out
-        for name in path:
+        for name in path[:-1]:
             node = node.setdefault(name, {})
-        node["act_scale"] = v
+        node[path[-1]] = v
     return out
 
 
@@ -142,6 +168,28 @@ def conv3x3_q8_static(x: jnp.ndarray, w: jnp.ndarray, act_max: jnp.ndarray,
         xq, wq, (strides, strides), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * sw
+
+
+def matmul_q8_static(x: jnp.ndarray, w: jnp.ndarray, act_max: jnp.ndarray) -> jnp.ndarray:
+    """Contraction over the last axis on the int8 MXU with STATIC per-input-channel
+    activation scales — the matmul twin of conv3x3_q8_static, shared by the conv1x1,
+    dense and LSTM-gate sites (a 1x1 conv IS a matmul over the channel axis).
+
+    Same scheme: ``act_max`` (per-input-channel |x| maxima from calibration, or a static
+    bound like the LSTM's |h|<1) makes the activation quantize a constant elementwise op
+    that fuses into the producer, and the channel scales fold into the per-output-channel
+    weight quantization. x: (..., Cin); w: (Cin, Cout) f32; act_max: (Cin,) f32.
+    Returns f32 (caller adds bias)."""
+    s_c = jnp.maximum(act_max.astype(jnp.float32), 1e-8) * ACT_SCALE_HEADROOM / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_c), -127, 127).astype(jnp.int8)
+
+    wf = w.astype(jnp.float32) * s_c[:, None]  # fold act scales into weights
+    sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=0), 1e-8) / 127.0  # (Cout,)
+    wq = jnp.clip(jnp.round(wf / sw), -127, 127).astype(jnp.int8)
+
+    y = jax.lax.dot_general(xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
     return y.astype(jnp.float32) * sw
 
 

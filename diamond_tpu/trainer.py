@@ -70,6 +70,9 @@ class Trainer:
         dtype_name = cfg.get("tpu", {}).get("compute_dtype", "float32")
         self._compute_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
         self._int8_rollout = bool(cfg.get("tpu", {}).get("int8_rollout", False))
+        from .ops import quant as _quant
+        self._int8_sites = _quant.parse_sites(
+            cfg.get("tpu", {}).get("int8_sites", "all"))  # fail fast on a bad spec
         self._quant_coll = None   # calibrated "quant" collection (static act scales)
         self._quant_step = -1     # denoiser train-state step it was calibrated at
         self._r_quant_coll = None  # rew/end twin of the above
@@ -319,7 +322,7 @@ class Trainer:
             from .data.episode import obs_to_float
             cal = self.engine.sampler.calibrate(d_vars, self._next_key(),
                                                 obs_to_float(st.obs_buffer),
-                                                st.act_buffer)
+                                                st.act_buffer, sites=self._int8_sites)
             self._quant_coll, self._quant_step = cal["quant"], step
             print(f"int8 recalibrated at denoiser step {step} "
                   f"({time.perf_counter() - t0:.1f}s)")
@@ -339,7 +342,8 @@ class Trainer:
             from .data.episode import obs_to_float
             obs_f = obs_to_float(st.obs_buffer)
             cal = self.agent.rew_end_model.calibrate(
-                r_vars, obs_f[:, -2:-1], st.act_buffer[:, -2:-1], obs_f[:, -1:])
+                r_vars, obs_f[:, -2:-1], st.act_buffer[:, -2:-1], obs_f[:, -1:],
+                sites=self._int8_sites)
             self._r_quant_coll, self._r_quant_step = cal["quant"], step
             print(f"int8 rew/end recalibrated at step {step} "
                   f"({time.perf_counter() - t0:.1f}s)")

@@ -41,23 +41,29 @@ class MetricsLogger:
     """Append-only JSONL metrics sink; wandb optional (reference funnels all logs through
     wandb_log, src/utils.py:323-325 — here the JSONL file is the source of truth)."""
 
+    WANDB_INIT_RETRIES = 3  # the reference retries wandb.init until it succeeds
+    # (try_until_no_except, reference src/utils.py:311-320); here the retry is BOUNDED
+    # so a missing/broken wandb can never block training — after the last attempt the
+    # logger degrades to JSONL-only and says so.
+
     def __init__(self, path: Union[str, Path], wandb_cfg: Optional[Dict[str, Any]] = None) -> None:
         self.path = Path(path)
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self._wandb = None
         if wandb_cfg and wandb_cfg.get("mode", "disabled") != "disabled":
-            def _init():
-                import wandb  # type: ignore
+            for attempt in range(self.WANDB_INIT_RETRIES):
+                try:
+                    import wandb  # type: ignore
 
-                wandb.init(**{k: v for k, v in wandb_cfg.items() if k != "mode"},
-                           resume=True)
-                self._wandb = wandb
-
-            try:  # retried like the reference's try_until_no_except wrapper would be,
-                # but bounded: a missing wandb must not block training (utils.py:311-320)
-                _init()
-            except Exception:
-                self._wandb = None
+                    wandb.init(**{k: v for k, v in wandb_cfg.items() if k != "mode"},
+                               resume=True)
+                    self._wandb = wandb
+                    break
+                except Exception as e:
+                    self._wandb = None
+                    if attempt == self.WANDB_INIT_RETRIES - 1:
+                        print(f"wandb disabled after {self.WANDB_INIT_RETRIES} failed "
+                              f"init attempts ({e!r}); logging to JSONL only")
 
     def log(self, logs: Logs, epoch: int) -> None:
         with self.path.open("a") as f:
