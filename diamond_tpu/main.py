@@ -49,6 +49,17 @@ def main(argv=None) -> None:
     cfg = load_config(args.config_name, overrides=args.overrides,
                       config_dir=config_dir)
 
+    # Multi-host (DCN) data parallelism: when tpu.distributed.coordinator is set, join
+    # the process group BEFORE any backend use — jax.devices() then spans all hosts and
+    # the trainer's mesh/GSPMD code runs unchanged (parallel/multihost.py; dryrun-proven
+    # in tests/test_multihost.py). Single-node runs leave coordinator null.
+    dist = cfg.get("tpu", {}).get("distributed", None)
+    if dist and dist.get("coordinator"):
+        from .parallel.multihost import initialize
+
+        initialize(dist.coordinator, int(dist.num_processes), int(dist.process_id),
+                   cpu_gloo=bool(dist.get("cpu_gloo", False)))
+
     root_dir = Path(__file__).resolve().parents[1]
     if args.run_dir is not None:
         run_dir = args.run_dir
