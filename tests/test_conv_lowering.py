@@ -43,6 +43,7 @@ def test_strided_falls_back():
                                    np.asarray(ref), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_flax_wrapper_param_tree_and_values():
     """DIAMOND_TPU_CONV changes only the lowering: same param tree, same outputs for the
     same init key. Run in a subprocess (the switch is read at import)."""

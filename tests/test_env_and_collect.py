@@ -1,6 +1,8 @@
 """Fake-env integration tests: env contract, env-loop death handling, collector/dataset
 round-trips across collect boundaries (SURVEY.md section 4, item 4)."""
 
+import pytest
+
 import numpy as np
 import jax
 
@@ -46,6 +48,7 @@ def test_fake_env_contract():
     np.testing.assert_array_equal(s1, s2)
 
 
+@pytest.mark.slow
 def test_env_loop_shapes_and_bootstrap():
     env = FakeEnv(num_envs=3, size=SIZE, max_episode_steps=8)
     ac, variables = small_ac()

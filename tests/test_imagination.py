@@ -93,6 +93,7 @@ def test_wm_transition_truncates_at_horizon(setup):
     np.testing.assert_allclose(np.round((o + 1) / 2 * 255) / 255 * 2 - 1, o, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_rollout_deterministic(setup):
     engine, d_vars, r_vars, ac_vars = setup
     pool = make_pool(engine, r_vars)
@@ -104,6 +105,7 @@ def test_rollout_deterministic(setup):
     np.testing.assert_allclose(np.asarray(t1["val"]), np.asarray(t2["val"]))
 
 
+@pytest.mark.slow
 def test_val_bootstrap_alignment(setup):
     """For steps where the env did NOT die, bootstrap[t] must equal val[t+1]."""
     engine, d_vars, r_vars, ac_vars = setup
@@ -121,6 +123,7 @@ def test_val_bootstrap_alignment(setup):
     np.testing.assert_allclose(boot[dead], vf[dead], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_ac_train_step_updates_policy(setup):
     engine, d_vars, r_vars, ac_vars = setup
     pool = make_pool(engine, r_vars, size=256)
@@ -212,6 +215,7 @@ def test_pool_manager_kick_survives_donated_weights(setup):
     assert bool(jnp.isfinite(mgr._next_pool.hx).all())
 
 
+@pytest.mark.slow
 def test_pool_policy_feats_matches_encode_path(setup):
     """With ICPool.feats precomputed from the SAME policy weights, the rollout must produce
     the same trajectory as the per-step batched-encode path (the gather replaces an encode

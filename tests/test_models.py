@@ -60,6 +60,7 @@ def test_denoiser_fwd_and_denoise(denoiser):
     np.testing.assert_allclose(grid / 255 * 2 - 1, o, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_denoiser_loss_and_grads(denoiser):
     d, variables = denoiser
     b, t = 2, NC + 2
@@ -112,6 +113,7 @@ def test_sampler_heun_and_churn(denoiser):
     assert np.isfinite(np.asarray(x)).all()
 
 
+@pytest.mark.slow
 def test_rew_end_predict_and_loss(rew_end):
     m, variables = rew_end
     b, t = 3, 6

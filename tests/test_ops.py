@@ -1,6 +1,8 @@
 """Pallas kernels validated in interpreter mode against their XLA references
 (the target platform's Mosaic compile path is currently unavailable — see ops/__init__.py)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -86,6 +88,7 @@ def test_adagn_silu_grad_matches_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_pallas_model_path_equivalence():
     """DIAMOND_TPU_PALLAS=1 routes the ResBlock norms through the kernels (interpret mode
     off-TPU) with identical params and matching outputs. Subprocess: the flag is read at
@@ -154,6 +157,7 @@ def test_conv3x3_q8_approximates_f32_conv():
     assert float(jnp.abs(y_q2 - y_ref2).max()) <= 0.03 * scale
 
 
+@pytest.mark.slow
 def test_int8_scope_confines_quantization_to_sampler():
     """With calibrated variables, DiffusionSampler.sample quantizes (output differs from
     the f32 sample but stays frame-close), while Denoiser.loss traced OUTSIDE the scope
@@ -225,6 +229,7 @@ def test_int8_scope_confines_quantization_to_sampler():
     assert np.mean(diff <= 6 / 255 * 2) >= 0.95, np.mean(diff <= 6 / 255 * 2)
 
 
+@pytest.mark.slow
 def test_int8_rew_end_inference_path():
     """RewEndModel.calibrate + the rollout's int8 scope (world_model_env._wm_transition):
     calibrated int8 logits perturb but stay close to f32, and the training loss traced
@@ -450,6 +455,7 @@ def test_int8_site_selection_and_lstm_dense_sites():
             pass
 
 
+@pytest.mark.slow
 def test_int8_calibration_robust_across_training():
     """VERDICT round-3 item #7: calibration quality must not silently degrade as training
     moves the weights. Train a small denoiser for several stages; at EVERY stage,

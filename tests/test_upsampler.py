@@ -175,6 +175,7 @@ def test_two_stage_sampler_deterministic_given_key():
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_upsampler_train_step():
     from diamond_tpu.data import DeviceBatch
     from diamond_tpu.models import configure_opt
@@ -366,6 +367,7 @@ def test_two_stage_stateful_env():
     assert saw_dead
 
 
+@pytest.mark.slow
 def test_two_stage_stateful_env_int8():
     """play --int8 on a two-stage model: all three stages (low-res dynamics, rew/end,
     upsampler) calibrated, and the stateful env runs on the int8 path with display
