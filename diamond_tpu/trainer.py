@@ -316,17 +316,19 @@ class Trainer:
         if not self._int8_rollout:
             return d_vars
         step = int(self.train_states["denoiser"].step)
-        if self._quant_coll is None or step != self._quant_step:
+        if step != self._quant_step:
             st = self._imag_state
             t0 = time.perf_counter()
             from .data.episode import obs_to_float
             cal = self.engine.sampler.calibrate(d_vars, self._next_key(),
                                                 obs_to_float(st.obs_buffer),
                                                 st.act_buffer, sites=self._int8_sites)
-            self._quant_coll, self._quant_step = cal["quant"], step
+            # None when the site selection matched nothing in this model (e.g.
+            # tpu.int8_sites=lstm on the denoiser): run bf16, don't crash
+            self._quant_coll, self._quant_step = cal.get("quant"), step
             print(f"int8 recalibrated at denoiser step {step} "
                   f"({time.perf_counter() - t0:.1f}s)")
-        return dict(d_vars, quant=self._quant_coll)
+        return dict(d_vars, quant=self._quant_coll) if self._quant_coll else d_vars
 
     def _rew_end_infer_variables(self) -> Any:
         """Rew/end variables for stop-gradient imagination inference — the rew/end twin of
@@ -336,7 +338,7 @@ class Trainer:
         if not self._int8_rollout:
             return r_vars
         step = int(self.train_states["rew_end_model"].step)
-        if self._r_quant_coll is None or step != self._r_quant_step:
+        if step != self._r_quant_step:
             st = self._imag_state
             t0 = time.perf_counter()
             from .data.episode import obs_to_float
@@ -344,10 +346,10 @@ class Trainer:
             cal = self.agent.rew_end_model.calibrate(
                 r_vars, obs_f[:, -2:-1], st.act_buffer[:, -2:-1], obs_f[:, -1:],
                 sites=self._int8_sites)
-            self._r_quant_coll, self._r_quant_step = cal["quant"], step
+            self._r_quant_coll, self._r_quant_step = cal.get("quant"), step
             print(f"int8 rew/end recalibrated at step {step} "
                   f"({time.perf_counter() - t0:.1f}s)")
-        return dict(r_vars, quant=self._r_quant_coll)
+        return dict(r_vars, quant=self._r_quant_coll) if self._r_quant_coll else r_vars
 
     def _u_variables(self) -> Any:
         v = {"params": self.train_states["upsampler"].params}

@@ -525,3 +525,30 @@ def test_int8_calibration_robust_across_training():
             state, metrics = step(state, constants, batch, kk)
     # the weights really moved (the robustness claim is vacuous otherwise)
     assert int(state.step) == 60
+
+
+def test_int8_site_selection_matching_nothing_stays_bf16():
+    """A site selection that matches nothing in a model (e.g. 'lstm' on the denoiser,
+    which has no LSTM) must leave the variables unquantized — sample() then runs the
+    bf16 path bit-identically (trainer._wm_infer_variables relies on this not crashing)."""
+    from diamond_tpu.models import (Denoiser, DenoiserConfig, DiffusionSampler,
+                                    DiffusionSamplerConfig, InnerModelConfig)
+
+    den = Denoiser(DenoiserConfig(
+        inner_model=InnerModelConfig(img_channels=3, num_steps_conditioning=2,
+                                     cond_channels=16, depths=[1], channels=[16],
+                                     attn_depths=[0], num_actions=3),
+        sigma_data=0.5, sigma_offset_noise=0.3))
+    v = den.init(jax.random.PRNGKey(0), img_size=8)
+    sampler = DiffusionSampler(den, DiffusionSamplerConfig(num_steps_denoising=2))
+
+    rng = np.random.default_rng(13)
+    prev_obs = jnp.asarray(rng.uniform(-1, 1, (2, 2, 8, 8, 3)).astype(np.float32))
+    act = jnp.asarray(rng.integers(0, 3, (2, 2)).astype(np.int32))
+    x_init = jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype(np.float32))
+
+    v_cal = sampler.calibrate(v, jax.random.PRNGKey(9), prev_obs, act, sites="lstm")
+    assert "quant" not in v_cal
+    x_f, _ = sampler.sample(v, jax.random.PRNGKey(1), prev_obs, act, x_init=x_init)
+    x_s, _ = sampler.sample(v_cal, jax.random.PRNGKey(1), prev_obs, act, x_init=x_init)
+    assert np.array_equal(np.asarray(x_f), np.asarray(x_s))
