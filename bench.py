@@ -43,12 +43,7 @@ WATCHDOG_S = int(os.environ.get("DIAMOND_TPU_BENCH_WATCHDOG_S", "900"))
 _stage = "startup"
 
 
-def _flag(env_var: str, config_default: bool) -> bool:
-    """Config-keyed production option, env-var overridable for A/B runs."""
-    raw = os.environ.get(env_var)
-    if raw is None:
-        return bool(config_default)
-    return raw == "1"
+from diamond_tpu.utils import env_flag as _flag  # config-keyed, env-overridable options
 
 
 def _note(stage: str) -> None:

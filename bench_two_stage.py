@@ -105,8 +105,9 @@ def main() -> None:
         cx = rng.normal(size=(n, lstm_d)).astype(np.float32) * 0.1
         return obs, act, hx, cx
 
-    use_int8 = os.environ.get("DIAMOND_TPU_INT8",
-                              "1" if cfg.tpu.int8_rollout else "0") == "1"
+    from diamond_tpu.utils import env_flag
+
+    use_int8 = env_flag("DIAMOND_TPU_INT8", cfg.tpu.int8_rollout)
     if use_int8:
         sites = os.environ.get("DIAMOND_TPU_INT8_SITES",
                                cfg.tpu.get("int8_sites", "all"))

@@ -131,13 +131,6 @@ def registry_to_collection(registry: dict, sites=None) -> dict:
     return out
 
 
-def with_calibration(variables, registry: dict):
-    """Return ``variables`` with the "quant" collection replaced from ``registry``."""
-    d = dict(variables)
-    d["quant"] = registry_to_collection(registry)
-    return d
-
-
 # Calibration records the exact observed max; give the runtime distribution a little
 # room to drift between recalibrations (the denoiser trains between AC phases).
 ACT_SCALE_HEADROOM = 1.05

@@ -180,7 +180,11 @@ def main(argv=None) -> None:
         # scope, and in two-stage mode the upsampler stage all pick it up; training/e2e
         # paths elsewhere are untouched).
         from .data.episode import obs_to_float
+        from .ops import quant as _quant
 
+        # honor tpu.int8_sites so play's inference quantizes exactly the site kinds the
+        # trainer/bench were validated with (default "all")
+        sites = _quant.parse_sites(cfg.get("tpu", {}).get("int8_sites", "all"))
         print("calibrating int8 world-model inference…")
         obs_u8, cal_act, _hx, _cx = provider(8)
         obs_f = obs_to_float(jnp.asarray(obs_u8))
@@ -191,10 +195,11 @@ def main(argv=None) -> None:
                                           upsample_frame)
             obs_f = quantize_to_uint8_grid(downsample_avg(obs_f, factor))
         agent.variables["denoiser"] = engine.sampler.calibrate(
-            agent.variables["denoiser"], jax.random.PRNGKey(11), obs_f, cal_act)
+            agent.variables["denoiser"], jax.random.PRNGKey(11), obs_f, cal_act,
+            sites=sites)
         agent.variables["rew_end_model"] = agent.rew_end_model.calibrate(
             agent.variables["rew_end_model"], obs_f[:, -2:-1], cal_act[:, -2:-1],
-            obs_f[:, -1:])
+            obs_f[:, -1:], sites=sites)
         if factor > 1:
             # the upsampler stage: same sampler cfg the env's cascade uses
             from .models.diffusion_sampler import DiffusionSampler
@@ -202,7 +207,8 @@ def main(argv=None) -> None:
             up_s = DiffusionSampler(agent.upsampler, engine.sampler.cfg)
             cond = upsample_frame(obs_f[:, -1], factor)
             agent.variables["upsampler"] = up_s.calibrate(
-                agent.variables["upsampler"], jax.random.PRNGKey(12), cond[:, None], None)
+                agent.variables["upsampler"], jax.random.PRNGKey(12), cond[:, None], None,
+                sites=sites)
     wm_env = WorldModelEnv(engine, lambda: agent.variables["denoiser"],
                            lambda: agent.variables["rew_end_model"], provider, num_envs=1,
                            return_denoising_trajectory=args.record, **up_kwargs)

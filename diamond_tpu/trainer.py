@@ -88,6 +88,18 @@ class Trainer:
         # Falls back to single-device placement when batch sizes don't divide the selection.
         from .parallel import make_mesh, select_devices
 
+        if jax.process_count() > 1:
+            # The jitted train steps are host-count-agnostic (GSPMD over a global mesh —
+            # proven by the 2-process dryrun, parallel/multihost.py), but THIS single-
+            # controller orchestration layer is not: its placements use jax.device_put
+            # (cannot target remote devices), and collection/eval/checkpointing assume one
+            # process owns the run dir. Fail fast instead of crashing later in placement.
+            raise NotImplementedError(
+                "Trainer is single-host: run it without tpu.distributed. Multi-host "
+                "(DCN) data parallelism is supported at the train-step layer — build a "
+                "global mesh and feed it via parallel.multihost.global_batch_from_local/"
+                "global_replicated_from_full (see tests/test_multihost.py).")
+
         self._devices = select_devices(cfg.common.get("devices", "all"))
         self._mesh = None
         n = len(self._devices)
@@ -99,6 +111,14 @@ class Trainer:
             else:
                 print(f"tpu.data_parallel requested but batch sizes {batch_sizes} do not "
                       f"divide {n} devices — running replicated on one device")
+        if self._mesh is None and n > 1:
+            # Multi-device selection without a usable data-parallel mesh: training is
+            # single-device, so the extra selected devices would sit idle. Say so loudly
+            # rather than silently dropping devices the user explicitly asked for.
+            print(f"WARNING: common.devices selected {n} devices but only "
+                  f"{self._devices[0]} will be used "
+                  f"(unused: {self._devices[1:]}); set tpu.data_parallel=True with batch "
+                  f"sizes divisible by {n} to use all of them")
         if self._mesh is None and self._devices[0] != jax.devices()[0]:
             # A specific non-default device was selected: a 1-device mesh routes every
             # placement (replicate/shard_* below) onto it with unchanged semantics.

@@ -64,6 +64,11 @@ class MetricsLogger:
                     if attempt == self.WANDB_INIT_RETRIES - 1:
                         print(f"wandb disabled after {self.WANDB_INIT_RETRIES} failed "
                               f"init attempts ({e!r}); logging to JSONL only")
+                    else:
+                        # back off so the bounded retry can actually outlast a transient
+                        # outage (the reference waits 10 s between attempts,
+                        # reference src/utils.py:311-320)
+                        time.sleep(5.0 * (attempt + 1))
 
     def log(self, logs: Logs, epoch: int) -> None:
         with self.path.open("a") as f:
@@ -242,6 +247,20 @@ def host_rss_gb() -> float:
 
 # ---------------------------------------------------------------------------
 # Misc
+
+
+def env_flag(env_var: str, config_default: bool) -> bool:
+    """Config-keyed production option, env-var overridable for A/B runs.
+
+    Used by bench.py / bench_two_stage.py so the benched path defaults to the shipped
+    config (tpu.int8_rollout / tpu.pool_policy_feats) while DIAMOND_TPU_*=0|1 still
+    force either side for measurement."""
+    import os
+
+    raw = os.environ.get(env_var)
+    if raw is None:
+        return bool(config_default)
+    return raw == "1"
 
 
 def set_seed(seed: int) -> None:
