@@ -68,7 +68,12 @@ class Collector:
         to_log: Logs = []
 
         while True:
-            obs, act, rew, end, trunc, *_, infos = self._env_loop.send(1)
+            # need_values=False: collection discards logits/values (reference
+            # collector.py:54-77 equally ignores them), and skipping the per-step
+            # bootstrap calls + fetches is a ~3x collection speedup on tunneled
+            # platforms (env_loop.send docstring)
+            obs, act, rew, end, trunc, *_, infos = self._env_loop.send(
+                1, need_values=False)
             info = infos[0]
             num_steps += num_envs
 

@@ -96,9 +96,18 @@ class EnvLoop:
         cx = jnp.zeros((b, d), jnp.float32)
         self._state = (obs, hx, cx, np.zeros(b, bool), None)
 
-    def send(self, num_steps: int) -> Tuple:
+    def send(self, num_steps: int, need_values: bool = True) -> Tuple:
         """Step the env ``num_steps`` times; returns stacked (B, T, ...) numpy arrays
-        (obs, act, rew, end, trunc, logits_act, val, val_bootstrap) + list of infos."""
+        (obs, act, rew, end, trunc, logits_act, val, val_bootstrap) + list of infos.
+
+        ``need_values=False`` skips everything only a TRAINER consumes — the
+        ``value_only`` bootstrap calls and the logits/value stacking+materialization
+        (each a full round trip on tunneled platforms) — and returns ``None`` for the
+        logits/val/bootstrap slots. Collection discards those slots (the reference
+        collector equally ignores them, src/coroutines/collector.py:54-77), and with
+        ``send(1)`` per collect step the tail calls dominate: measured on the v5e
+        tunnel, collection is ~250 ms/step with values vs ~3 dispatch round trips
+        without (VALIDATION.md round 4)."""
         if self._state is None:
             self.reset()
         variables = self.get_variables()
@@ -135,12 +144,13 @@ class EnvLoop:
 
             val_final = zeros_b
             if dead.any():
-                # value of the true final obs with the PRE-reset state
-                # (reference env_loop.py:46-48)
-                final_full = np.array(next_obs, copy=True)
-                final_full[dead] = info["final_observation"]
-                val_final = self._value_only(variables, final_full, hx, cx)
-                val_final_obs = val_final
+                if need_values:
+                    # value of the true final obs with the PRE-reset state
+                    # (reference env_loop.py:46-48)
+                    final_full = np.array(next_obs, copy=True)
+                    final_full[dead] = info["final_observation"]
+                    val_final = self._value_only(variables, final_full, hx, cx)
+                    val_final_obs = val_final
                 if "burnin_obs" in info:
                     # world-model resets: re-burn-in the policy LSTM on the new context
                     gate = jnp.asarray(~dead, jnp.float32)[:, None]
@@ -160,18 +170,23 @@ class EnvLoop:
             obs = next_obs
             prev_dead = dead
 
-        # bootstraps: next step's value, except the final-obs value where the env died
-        # (reference env_loop.py:39-43, 64-70); last step uses a no-state-update value call
-        val_extra = self._value_only(variables, obs, hx, cx)
-        vals_j = jnp.stack(dev_vals, axis=1)                     # (B, T)
-        val_next = jnp.concatenate([vals_j[:, 1:], val_extra[:, None]], axis=1)
-        finals_j = jnp.stack(dev_val_finals, axis=1)
-        dead_j = jnp.asarray(np.stack(dead_masks, axis=1))
-        boot_j = jnp.where(dead_j, finals_j, val_next)
-        logits_j = jnp.stack(dev_logits, axis=1)                 # (B, T, A)
+        if need_values:
+            # bootstraps: next step's value, except the final-obs value where the env died
+            # (reference env_loop.py:39-43, 64-70); last step uses a no-state-update value
+            # call
+            val_extra = self._value_only(variables, obs, hx, cx)
+            vals_j = jnp.stack(dev_vals, axis=1)                 # (B, T)
+            val_next = jnp.concatenate([vals_j[:, 1:], val_extra[:, None]], axis=1)
+            finals_j = jnp.stack(dev_val_finals, axis=1)
+            dead_j = jnp.asarray(np.stack(dead_masks, axis=1))
+            boot_j = jnp.where(dead_j, finals_j, val_next)
+            logits_j = jnp.stack(dev_logits, axis=1)             # (B, T, A)
 
-        # one materialization pass for everything device-side
-        val_np, boot_np, logits_np = (np.asarray(x) for x in (vals_j, boot_j, logits_j))
+            # one materialization pass for everything device-side
+            val_np, boot_np, logits_np = (np.asarray(x)
+                                          for x in (vals_j, boot_j, logits_j))
+        else:
+            val_np = boot_np = logits_np = None
 
         self._state = (obs, hx, cx, prev_dead, val_final_obs)
         extras["reset_mask"] = np.stack(extras["reset_mask"], axis=1)  # (B, T)

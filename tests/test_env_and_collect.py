@@ -67,6 +67,26 @@ def test_env_loop_shapes_and_bootstrap():
     loop.send(3)
 
 
+def test_env_loop_need_values_false_same_transitions():
+    # the collector's fast path (need_values=False) must step the env identically —
+    # same actions, same deaths — and only skip the trainer-facing value outputs
+    ac, variables = small_ac()
+    outs = []
+    for need in (True, False):
+        env = FakeEnv(num_envs=2, size=SIZE, max_episode_steps=6)
+        loop = EnvLoop(env, ac, lambda: variables, epsilon=0.1, seed=7)
+        outs.append(loop.send(10, need_values=need))
+    (obs1, act1, rew1, end1, tr1, lg1, v1, b1, _), \
+        (obs2, act2, rew2, end2, tr2, lg2, v2, b2, _) = outs
+    np.testing.assert_array_equal(obs1, obs2)
+    np.testing.assert_array_equal(act1, act2)
+    np.testing.assert_array_equal(rew1, rew2)
+    np.testing.assert_array_equal(end1, end2)
+    np.testing.assert_array_equal(tr1, tr2)
+    assert lg1 is not None and v1 is not None and b1 is not None
+    assert lg2 is None and v2 is None and b2 is None
+
+
 def test_collector_roundtrip(tmp_path):
     env = FakeEnv(num_envs=2, size=SIZE, max_episode_steps=10)
     ac, variables = small_ac()
