@@ -32,7 +32,7 @@ if [ ! -d "${DIR}/checkpoints" ]; then
     denoiser.training.steps_first_epoch=3500 \
     rew_end_model.training.steps_first_epoch=3500 \
     actor_critic.training.steps_first_epoch=1750 \
-    training.num_final_epochs=6 \
+    training.num_final_epochs=4 \
     tpu.max_host_rss_gb=60 \
     --run-dir "$DIR" > "$DIR/run.log" 2>&1
   rc=$?
