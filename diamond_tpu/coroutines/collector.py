@@ -99,6 +99,11 @@ class Collector:
                         ep = self.dataset.load_episode(self._episode_ids[i]) + ep
                     self._episode_ids[i] = self.dataset.add_episode(
                         ep, episode_id=self._episode_ids[i])
+                    # the buffered transitions are now in the dataset; an episode still
+                    # running at this collect boundary continues from an EMPTY buffer so
+                    # its stored prefix is never concatenated twice (the reference resets
+                    # its buffer at every collect call, collector.py:30-38)
+                    self._buffer[i] = []
 
                 if dead[i]:
                     to_log.append({

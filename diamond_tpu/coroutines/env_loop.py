@@ -94,7 +94,7 @@ class EnvLoop:
         obs, _ = self.env.reset(seed=[seed + i for i in range(b)])
         hx = jnp.zeros((b, d), jnp.float32)
         cx = jnp.zeros((b, d), jnp.float32)
-        self._state = (obs, hx, cx, np.zeros(b, bool), None)
+        self._state = (obs, hx, cx, np.zeros(b, bool))
 
     def send(self, num_steps: int, need_values: bool = True) -> Tuple:
         """Step the env ``num_steps`` times; returns stacked (B, T, ...) numpy arrays
@@ -111,7 +111,7 @@ class EnvLoop:
         if self._state is None:
             self.reset()
         variables = self.get_variables()
-        obs, hx, cx, prev_dead, val_final_obs = self._state
+        obs, hx, cx, prev_dead = self._state
 
         steps: List[List[Any]] = []
         infos: List[Dict[str, Any]] = []
@@ -150,7 +150,6 @@ class EnvLoop:
                     final_full = np.array(next_obs, copy=True)
                     final_full[dead] = info["final_observation"]
                     val_final = self._value_only(variables, final_full, hx, cx)
-                    val_final_obs = val_final
                 if "burnin_obs" in info:
                     # world-model resets: re-burn-in the policy LSTM on the new context
                     gate = jnp.asarray(~dead, jnp.float32)[:, None]
@@ -162,9 +161,10 @@ class EnvLoop:
 
             steps_host.append([obs, act_np, np.asarray(rew), np.asarray(end, np.uint8),
                                np.asarray(trunc, np.uint8)])
-            dev_logits.append(logits)
-            dev_vals.append(val)
-            dev_val_finals.append(val_final)
+            if need_values:  # collection (need_values=False) never reads these buffers
+                dev_logits.append(logits)
+                dev_vals.append(val)
+                dev_val_finals.append(val_final)
             dead_masks.append(dead)
             infos.append(info)
             obs = next_obs
@@ -188,7 +188,7 @@ class EnvLoop:
         else:
             val_np = boot_np = logits_np = None
 
-        self._state = (obs, hx, cx, prev_dead, val_final_obs)
+        self._state = (obs, hx, cx, prev_dead)
         extras["reset_mask"] = np.stack(extras["reset_mask"], axis=1)  # (B, T)
         self.last_extras = extras
         obs_s, act_s, rew_s, end_s, trunc_s = (np.stack(x, axis=1)

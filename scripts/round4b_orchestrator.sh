@@ -1,4 +1,7 @@
 #!/usr/bin/env bash
+# NOTE: superseded by scripts/run_seed_r4.sh for seed runs (this file's seed phase
+# uses training.num_final_epochs=6; the recorded round-4 protocol is 10 collect + 4
+# final epochs as encoded in run_seed_r4.sh). Kept for the bench phases / history.
 # Round-4 session-2 chip scheduler. The first round-4 session measured the int8 site
 # ladder (bf16 2924.2 -> conv3x3 3447.4 -> +conv1x1 3549.6 fps) but the VM was recycled
 # before the two-stage play-FPS bench and the 3-seed capability runs could land. This
@@ -58,6 +61,12 @@ run_seed() {  # seed, budget_s
       echo "seed ${SEED}: resumable exit ($rc) - resuming"
     fi
     wait_tunnel || return 1
+    # recompute the budget AFTER wait_tunnel (it can sleep for minutes) and clamp to
+    # the global deadline, so a resume never runs past END/DEADLINE into later phases
+    L=$(( END - $(date +%s) ))
+    local TO_DEADLINE=$(( DEADLINE - $(date +%s) ))
+    [ "$TO_DEADLINE" -lt "$L" ] && L=$TO_DEADLINE
+    [ "$L" -lt 120 ] && { echo "seed ${SEED}: budget exhausted after tunnel wait"; return 1; }
     timeout -s TERM "$L" python -m diamond_tpu.main common.resume=True \
       --run-dir "${DIR}" >> "${DIR}/run.log" 2>&1
     rc=$?

@@ -1,4 +1,6 @@
 #!/usr/bin/env bash
+# NOTE: superseded by scripts/run_seed_r4.sh (this file uses num_final_epochs=6; the
+# recorded round-4 protocol is 10 collect + 4 final as encoded in run_seed_r4.sh).
 # Round-4 session-2 seed scheduler, v2 — replaces the seed phase of
 # round4b_orchestrator.sh after two live findings on this VM:
 #   1. Collection runs at ~4 env-steps/s (single host core, ~250 ms of host work +

@@ -123,6 +123,47 @@ def test_collector_roundtrip(tmp_path):
         assert ds2.load_episode(eid).dead[-1] == 1
 
 
+def test_collector_boundary_no_duplication(tmp_path):
+    """An episode still running at a collect boundary must be EXTENDED, not re-added:
+    the reference resets its transition buffer at every collect call
+    (reference collector.py:30-38 setup_new_collect), so the already-stored prefix is
+    never concatenated twice. Regression test for the round-4 capability-run failure:
+    split collects duplicated the prefix, splicing a time-jump (no end flag) into the
+    episode — with multi-env collection nearly every stored episode was corrupted."""
+
+    def collect(schedule, seed=7):
+        env = FakeEnv(num_envs=2, size=SIZE, max_episode_steps=10)
+        ac, variables = small_ac()
+        ds = Dataset(tmp_path / f"ds_{len(schedule)}_{schedule[0]}", "train_dataset",
+                     cache_in_ram=True, save_on_disk=False)
+        col = Collector(env, ac, lambda: variables, ds, epsilon=0.0, seed=seed,
+                        verbose=False)
+        for n in schedule:
+            col.send(NumToCollect(steps=n))
+        return ds
+
+    # 25 steps over 2 envs -> 13 iterations -> both envs are 3 steps into their second
+    # episode at the first boundary (episodes truncate at 10)
+    ds_split = collect([25, 10, 5])   # 13 + 5 + 3 = 21 iterations
+    ds_once = collect([42])           # 21 iterations in one call
+
+    # exact step accounting: every env transition stored exactly once
+    for ds in (ds_split, ds_once):
+        assert ds.num_steps == 2 * 21, (ds.num_steps, 2 * 21)
+        for eid in range(ds.num_episodes):
+            assert len(ds.load_episode(eid)) <= 10  # never beyond max_episode_steps
+
+    # the split schedule must produce the IDENTICAL dataset (same seeds, same policy)
+    assert ds_split.num_episodes == ds_once.num_episodes
+    for eid in range(ds_split.num_episodes):
+        a, b = ds_split.load_episode(eid), ds_once.load_episode(eid)
+        np.testing.assert_array_equal(np.asarray(a.obs), np.asarray(b.obs))
+        np.testing.assert_array_equal(np.asarray(a.act), np.asarray(b.act))
+        np.testing.assert_array_equal(np.asarray(a.rew), np.asarray(b.rew))
+        np.testing.assert_array_equal(np.asarray(a.end), np.asarray(b.end))
+        np.testing.assert_array_equal(np.asarray(a.trunc), np.asarray(b.trunc))
+
+
 def test_epsilon_greedy_whole_batch_vs_per_env():
     """Reference parity: one exploration coin per STEP for the whole batch
     (reference env_loop.py:34-35); per-env mixing only with epsilon_per_env=True.
