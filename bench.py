@@ -43,6 +43,7 @@ WATCHDOG_S = int(os.environ.get("DIAMOND_TPU_BENCH_WATCHDOG_S", "900"))
 _stage = "startup"
 
 
+from diamond_tpu.utils import enable_compilation_cache
 from diamond_tpu.utils import env_flag as _flag  # config-keyed, env-overridable options
 
 
@@ -71,6 +72,8 @@ def _watchdog(signum, frame):  # noqa: ARG001
 def main() -> None:
     signal.signal(signal.SIGALRM, _watchdog)
     signal.alarm(WATCHDOG_S)
+    cache = enable_compilation_cache()
+    _note(f"compile_cache dir={cache or 'off'}")
     _note("load_config")
     cfg = load_config("trainer")
     agent_cfg = AgentConfig.from_cfg(cfg.agent, NUM_ACTIONS)

@@ -29,6 +29,7 @@ from diamond_tpu.config import load_config
 from diamond_tpu.envs.world_model_env import ImaginationEngine, WorldModelEnvConfig
 from diamond_tpu.envs.wm_env_stateful import WorldModelEnv
 from diamond_tpu.models import Agent, AgentConfig
+from diamond_tpu.utils import enable_compilation_cache
 
 TARGET_FPS = 15.0  # reference src/play.py:36
 NUM_ACTIONS = 4
@@ -62,6 +63,8 @@ def _watchdog(signum, frame):  # noqa: ARG001
 def main() -> None:
     signal.signal(signal.SIGALRM, _watchdog)
     signal.alarm(WATCHDOG_S)
+    cache = enable_compilation_cache()
+    _note(f"compile_cache dir={cache or 'off'}")
     _note("load_config")
     overrides = ["agent=csgo", "env=fake"]
     if SMOKE:

@@ -19,7 +19,7 @@ from pathlib import Path
 
 from .config import load_config
 from .trainer import Trainer
-from .utils import skip_if_run_is_over
+from .utils import enable_compilation_cache, skip_if_run_is_over
 
 
 def parse_args(argv=None):
@@ -49,16 +49,24 @@ def main(argv=None) -> None:
     cfg = load_config(args.config_name, overrides=args.overrides,
                       config_dir=config_dir)
 
-    # Multi-host (DCN) data parallelism: when tpu.distributed.coordinator is set, join
-    # the process group BEFORE any backend use — jax.devices() then spans all hosts and
-    # the trainer's mesh/GSPMD code runs unchanged (parallel/multihost.py; dryrun-proven
-    # in tests/test_multihost.py). Single-node runs leave coordinator null.
+    # persistent compile cache: a resumed/repeated run on a fresh VM otherwise pays
+    # ~4.5 min of cold compiles per process (opt-out: DIAMOND_TPU_COMPILE_CACHE=0)
+    enable_compilation_cache()
+
+    # Multi-host (DCN) data parallelism exists at the TRAIN-STEP layer only: the jitted
+    # GSPMD steps (incl. the AC/imagination step) are host-count-agnostic and
+    # multi-process-dryrun-proven (parallel/multihost.py, tests/test_multihost.py), but
+    # this Trainer's orchestration (collection, device-store placement, checkpointing)
+    # is single-controller. Fail fast HERE instead of initializing a process group the
+    # Trainer would reject anyway (trainer.py's jax.process_count() guard).
     dist = cfg.get("tpu", {}).get("distributed", None)
     if dist and dist.get("coordinator"):
-        from .parallel.multihost import initialize
-
-        initialize(dist.coordinator, int(dist.num_processes), int(dist.process_id),
-                   cpu_gloo=bool(dist.get("cpu_gloo", False)))
+        raise SystemExit(
+            "tpu.distributed.* is not supported by the training CLI: the Trainer is "
+            "single-host. Multi-host (DCN) data parallelism is available at the "
+            "train-step layer — initialize with parallel.multihost.initialize and feed "
+            "global arrays via global_batch_from_local / global_replicated_from_full "
+            "(see parallel/multihost.py and tests/test_multihost.py).")
 
     root_dir = Path(__file__).resolve().parents[1]
     if args.run_dir is not None:

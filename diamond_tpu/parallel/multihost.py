@@ -137,6 +137,63 @@ def _dryrun_worker(process_id: int, num_processes: int, port: int, outdir: str) 
            "loss": float(metrics["loss_denoising"]),
            "grad_norm": float(metrics["grad_norm_before_clip"]),
            "step": int(state.step)}
+
+    # -- AC / imagination step: the hardest sharding case (replicated pool pointer +
+    # death prefix-sum inside the fused rollout) run across REAL processes --------
+    from ..envs.world_model_env import (ICPool, ImaginationEngine, WorldModelEnvConfig,
+                                        make_ic_preparer)
+    from ..models import (ActorCritic, ActorCriticConfig, ActorCriticLossConfig,
+                          DiffusionSamplerConfig, RewEndModel, RewEndModelConfig)
+    from ..training import make_ac_train_step
+
+    IMG, C, NC, NA, D = 8, 3, 2, 3, 16
+    rew_end = RewEndModel(RewEndModelConfig(lstm_dim=D, img_channels=C, img_size=IMG,
+                                            cond_channels=8, depths=[1], channels=[8],
+                                            attn_depths=[0], num_actions=NA))
+    ac = ActorCritic(ActorCriticConfig(lstm_dim=D, img_channels=C, img_size=IMG,
+                                       channels=[8], down=[1], num_actions=NA))
+    r_vars = rew_end.init(jax.random.PRNGKey(1))   # same keys -> same params everywhere
+    ac_vars = ac.init(jax.random.PRNGKey(2))
+
+    # global IC pool (P=16) from process-local rows: obs/act drawn from a SHARED numpy
+    # stream, burn-in LSTM states computed locally per row, then assembled with
+    # make_array_from_process_local_data; the consumption pointer is a replicated scalar
+    prng = np.random.default_rng(7)
+    P_pool, b_g = 16, 8
+    pool_obs = prng.integers(0, 255, (P_pool, NC, IMG, IMG, C), dtype=np.uint8)
+    pool_act = prng.integers(0, NA, (P_pool, NC)).astype(np.int32)
+    per_p = P_pool // num_processes
+    psl = slice(process_id * per_p, (process_id + 1) * per_p)
+    hx_l, cx_l = make_ic_preparer(rew_end)(r_vars, jnp.asarray(pool_obs[psl]),
+                                           jnp.asarray(pool_act[psl]))
+    pool = ICPool(
+        obs=global_batch_from_local(pool_obs[psl], mesh),
+        act=global_batch_from_local(pool_act[psl], mesh),
+        hx=global_batch_from_local(np.asarray(hx_l), mesh),
+        cx=global_batch_from_local(np.asarray(cx_l), mesh),
+        ptr=global_replicated_from_full(np.asarray(0, np.int32), mesh))
+
+    engine = ImaginationEngine(den, rew_end, ac, WorldModelEnvConfig(
+        horizon=4, num_batches_to_preload=1,
+        diffusion_sampler=DiffusionSamplerConfig(num_steps_denoising=2)))
+    # non-addressable arrays require jit even for the reset gather
+    st, pool = jax.jit(engine.initial_state, static_argnums=1)(pool, b_g)
+
+    tx_a = optax.adamw(1e-4)
+    sa = TrainState.create(ac_vars["params"], tx_a)
+    sa = global_replicated_from_full(sa, mesh)
+    d_vars_g = global_replicated_from_full(dict(v), mesh)  # full denoiser variables
+    r_vars_g = global_replicated_from_full(r_vars, mesh)
+    step_a = make_ac_train_step(engine, ac, tx_a,
+                                ActorCriticLossConfig(backup_every=4, gamma=0.985,
+                                                      lambda_=0.95, weight_value_loss=1.0,
+                                                      weight_entropy_loss=0.001))
+    key_a = global_replicated_from_full(jax.random.PRNGKey(3), mesh)
+    sa, st, pool, ma = step_a(sa, d_vars_g, r_vars_g, st, pool, key_a)
+
+    out.update({"ac_loss": float(ma["loss_total"]),
+                "ac_grad_norm": float(ma["grad_norm_before_clip"]),
+                "ac_pool_ptr": int(pool.ptr)})
     Path(outdir, f"dryrun_p{process_id}.json").write_text(json.dumps(out))
     print(f"[multihost dryrun] p{process_id}: {out}", flush=True)
 

@@ -46,6 +46,23 @@ from .utils import (Logs, MetricsLogger, count_parameters, keep_agent_copies_eve
                     save_info_for_import_script, save_with_backup, set_seed)
 
 
+def final_protocol_metrics(to_log: Logs, episodes: int) -> Dict[str, Any]:
+    """Final-evaluation headline numbers, protocol-exact vs the reference.
+
+    The reference averages over exactly ``num_final_episodes`` (reference
+    trainer.py:302-324, collected with a single test env). Batched test envs can finish
+    extra episodes in the last vector step; the headline mean/std therefore truncates to
+    the first ``episodes`` in completion order so numbers are 1:1 comparable, and the
+    all-episodes mean is kept as a secondary metric."""
+    returns = [d["return"] for d in to_log if "return" in d]
+    protocol = returns[:episodes]
+    return {"final_return_mean": float(np.mean(protocol)),
+            "final_return_std": float(np.std(protocol)),
+            "final_num_episodes": len(protocol),
+            "final_return_mean_all_collected": float(np.mean(returns)),
+            "final_num_episodes_all_collected": len(returns)}
+
+
 class Trainer:
     def __init__(self, cfg: Cfg, root_dir: Path, run_dir: Optional[Path] = None) -> None:
         self._cfg = cfg
@@ -573,9 +590,7 @@ class Trainer:
         self.num_episodes_test += episodes
 
         if final:
-            returns = [d["return"] for d in to_log if "return" in d]
-            to_log.append({"final_return_mean": float(np.mean(returns)),
-                           "final_return_std": float(np.std(returns))})
+            to_log.append(final_protocol_metrics(to_log, episodes))
             print(to_log[-1])
         return to_log
 

@@ -249,6 +249,32 @@ def host_rss_gb() -> float:
 # Misc
 
 
+def enable_compilation_cache(default_dir: str = "/root/.cache/diamond_tpu_jax_cache") -> str:
+    """Turn on JAX's persistent compilation cache (opt-out: DIAMOND_TPU_COMPILE_CACHE=0).
+
+    Cold-VM agent.init costs ~4.5 min of compile on the tunneled TPU (VALIDATION.md
+    round 4) — on a platform where healthy-tunnel windows are the scarce resource,
+    every entry point (benches, training CLI) defaults the cache ON. An explicit
+    JAX_COMPILATION_CACHE_DIR wins over ``default_dir``. Returns the directory used
+    ('' when disabled)."""
+    import os
+
+    if os.environ.get("DIAMOND_TPU_COMPILE_CACHE") == "0":
+        return ""
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") or default_dir
+    try:
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache even fast compiles: dispatch-dominated entry points re-trace dozens of
+        # small jits, and tunnel round trips make even 1-2 s compiles worth keeping
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover — never let caching break the entry point
+        return ""
+    return cache_dir
+
+
 def env_flag(env_var: str, config_default: bool) -> bool:
     """Config-keyed production option, env-var overridable for A/B runs.
 

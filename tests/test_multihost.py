@@ -58,6 +58,11 @@ def test_two_process_mesh_matches_single_process(tmp_path):
     # both processes computed the same GLOBAL loss (replicated output of one program)
     assert two[0]["loss"] == two[1]["loss"]
     assert two[0]["grad_norm"] == two[1]["grad_norm"]
+    # AC/imagination step (replicated pool pointer + death prefix-sum in the rollout)
+    assert two[0]["ac_loss"] == two[1]["ac_loss"]
+    # the replicated pool pointer (advanced by initial_state + per-death refills inside
+    # the rollout's prefix-sum) is a single global scalar both processes agree on
+    assert two[0]["ac_pool_ptr"] == two[1]["ac_pool_ptr"] >= 8
 
     # 1 host x 8 devices: the same worker, same global batch, single process
     one = _run_group(1, 8, tmp_path / "one")
@@ -65,3 +70,7 @@ def test_two_process_mesh_matches_single_process(tmp_path):
     # host-count-agnostic: same global math (tolerance = cross-topology reduction order)
     np.testing.assert_allclose(two[0]["loss"], one[0]["loss"], rtol=1e-5)
     np.testing.assert_allclose(two[0]["grad_norm"], one[0]["grad_norm"], rtol=1e-4)
+    np.testing.assert_allclose(two[0]["ac_loss"], one[0]["ac_loss"], rtol=1e-4)
+    np.testing.assert_allclose(two[0]["ac_grad_norm"], one[0]["ac_grad_norm"], rtol=1e-3)
+    # identical death pattern -> identical pointer advance across topologies
+    assert one[0]["ac_pool_ptr"] == two[0]["ac_pool_ptr"]

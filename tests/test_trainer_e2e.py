@@ -8,7 +8,24 @@ import numpy as np
 import pytest
 
 from diamond_tpu.config import load_config
-from diamond_tpu.trainer import Trainer
+from diamond_tpu.trainer import Trainer, final_protocol_metrics
+
+
+def test_final_protocol_truncates_to_num_final_episodes():
+    """The headline final_return_mean averages EXACTLY num_final_episodes in completion
+    order (reference trainer.py:302-324); extra episodes finished by batched test envs
+    in the last vector step go into the secondary all-collected metric only."""
+    to_log = [{"test_dataset/episode_id": i, "return": float(r), "length": 10}
+              for i, r in enumerate([1, 2, 3, 0])] + [{"test_dataset/num_steps": 40}]
+    m = final_protocol_metrics(to_log, episodes=3)
+    assert m["final_num_episodes"] == 3
+    assert m["final_return_mean"] == pytest.approx(2.0)          # mean of 1,2,3
+    assert m["final_return_std"] == pytest.approx(np.std([1, 2, 3]))
+    assert m["final_num_episodes_all_collected"] == 4
+    assert m["final_return_mean_all_collected"] == pytest.approx(1.5)
+    # fewer collected than requested (shouldn't happen, but never crash): uses what exists
+    m2 = final_protocol_metrics(to_log[:2], episodes=3)
+    assert m2["final_num_episodes"] == 2
 
 TINY_OVERRIDES = [
     "env=fake",
