@@ -42,13 +42,14 @@ class EnvLoop:
         self._rng = np.random.default_rng(seed)
         self._base_key = jax.random.PRNGKey(
             seed if seed is not None else int(self._rng.integers(0, 2 ** 31 - 1)))
-        self._step_count = 0
+        self._step_count = 0                       # host mirror (debug/inspection only)
+        self._step_dev = jnp.asarray(0, jnp.int32)  # device-carried: no per-step upload
+        self._epsilon_dev = jnp.asarray(self.epsilon, jnp.float32)  # staged once
         self._state: Optional[Tuple] = None
 
         num_actions = env.num_actions
 
-        @jax.jit
-        def policy_step(variables, obs_u8, hx, cx, reset_mask, key, step, epsilon):
+        def _policy_core(variables, obs_u8, hx, cx, reset_mask, key, step, epsilon):
             # zero LSTM state of envs that died last step (reference env_loop.py:50-52)
             gate = 1.0 - reset_mask.astype(jnp.float32)[:, None]
             hx, cx = hx * gate, cx * gate
@@ -62,6 +63,21 @@ class EnvLoop:
             explore = jax.random.uniform(k3, explore_shape) < epsilon
             act = jnp.where(explore, rand_act, act)
             return act, out.logits_act, out.val, out.carry[0], out.carry[1]
+
+        policy_step = jax.jit(_policy_core)
+
+        @jax.jit
+        def policy_step_packed(variables, packed, hx, cx, key, step, epsilon):
+            # Tunnel-RPC-lean variant used by ``send``: every host→device transfer is a
+            # full round trip (~25 ms) on tunneled platforms, so the fresh env obs and the
+            # per-env reset mask cross in ONE packed uint8 upload, and the step counter /
+            # epsilon live on device (carried / staged) instead of re-uploading python
+            # scalars each call. Math identical to ``_policy_core``.
+            b = packed.shape[0]
+            obs_u8 = packed[:, :-1].reshape((b,) + self._obs_shape)
+            reset_mask = packed[:, -1].astype(bool)
+            outs = _policy_core(variables, obs_u8, hx, cx, reset_mask, key, step, epsilon)
+            return outs + (step + 1,)
 
         @jax.jit
         def value_only(variables, obs_u8, hx, cx):
@@ -82,8 +98,10 @@ class EnvLoop:
             return hx, cx
 
         self._policy_step = policy_step
+        self._policy_step_packed = policy_step_packed
         self._value_only = value_only
         self._burnin_steps = burnin_steps
+        self._obs_shape: Optional[Tuple[int, ...]] = None
 
     def reset(self) -> None:
         """(Re)start the loop: env reset with per-env seeds, zero LSTM state
@@ -94,6 +112,7 @@ class EnvLoop:
         obs, _ = self.env.reset(seed=[seed + i for i in range(b)])
         hx = jnp.zeros((b, d), jnp.float32)
         cx = jnp.zeros((b, d), jnp.float32)
+        self._obs_shape = tuple(obs.shape[1:])
         self._state = (obs, hx, cx, np.zeros(b, bool))
 
     def send(self, num_steps: int, need_values: bool = True) -> Tuple:
@@ -133,9 +152,22 @@ class EnvLoop:
 
         for _ in range(num_steps):
             extras["reset_mask"].append(np.asarray(prev_dead))
-            act, logits, val, hx, cx = self._policy_step(
-                variables, obs, hx, cx, jnp.asarray(prev_dead), self._base_key,
-                self._step_count, self.epsilon)
+            if isinstance(obs, np.ndarray) and obs.dtype == np.uint8:
+                # host env: one fused uint8 upload (obs + reset mask), device-carried
+                # step counter, staged epsilon — 1 H2D RPC/step instead of 4
+                packed = np.concatenate(
+                    [obs.reshape(b, -1), np.asarray(prev_dead, np.uint8)[:, None]],
+                    axis=1)
+                act, logits, val, hx, cx, self._step_dev = self._policy_step_packed(
+                    variables, packed, hx, cx, self._base_key, self._step_dev,
+                    self._epsilon_dev)
+            else:
+                # device-resident obs (EnvLoop over a WorldModelEnv): no upload to fuse;
+                # an EnvLoop's obs type is fixed by its env, so the two step counters
+                # never interleave within one loop
+                act, logits, val, hx, cx = self._policy_step(
+                    variables, obs, hx, cx, jnp.asarray(prev_dead), self._base_key,
+                    self._step_count, self.epsilon)
             self._step_count += 1
             act_np = np.asarray(act)  # the one mandatory device fetch per step
 

@@ -87,6 +87,29 @@ def test_env_loop_need_values_false_same_transitions():
     assert lg2 is None and v2 is None and b2 is None
 
 
+def test_packed_policy_step_matches_unpacked():
+    # send()'s RPC-lean fused-upload path (one packed uint8 H2D + device-carried step
+    # counter + staged epsilon) must be bit-identical to the plain per-argument call
+    import jax.numpy as jnp
+
+    ac, variables = small_ac()
+    env = FakeEnv(num_envs=3, size=SIZE, max_episode_steps=8)
+    loop = EnvLoop(env, ac, lambda: variables, epsilon=0.3, seed=11)
+    loop.reset()
+    obs, hx, cx, _ = loop._state
+    prev_dead = np.array([False, True, False])
+    for step in (0, 5):
+        packed = np.concatenate(
+            [obs.reshape(3, -1), prev_dead.astype(np.uint8)[:, None]], axis=1)
+        ref = loop._policy_step(variables, obs, hx, cx, jnp.asarray(prev_dead),
+                                loop._base_key, step, loop.epsilon)
+        got = loop._policy_step_packed(variables, packed, hx, cx, loop._base_key,
+                                       jnp.asarray(step, jnp.int32), loop._epsilon_dev)
+        assert int(got[-1]) == step + 1  # device-carried counter advanced
+        for r, g in zip(ref, got[:-1]):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
 def test_collector_roundtrip(tmp_path):
     env = FakeEnv(num_envs=2, size=SIZE, max_episode_steps=10)
     ac, variables = small_ac()
