@@ -518,7 +518,7 @@ class Trainer:
             if profiling:
                 jax.profiler.stop_trace()
 
-            from .utils import RESTART_EXIT_CODE, host_rss_gb
+            from .utils import RESTART_EXIT_CODE, host_rss_gb, resolve_rss_limit_gb
 
             to_log.append({"duration": (time.time() - start_time) / 3600,
                            "host_rss_gb": round(host_rss_gb(), 3)})
@@ -531,8 +531,8 @@ class Trainer:
             # the limit, exit checkpointed-and-restartable instead of getting OOM-killed
             # mid-epoch. scripts/resume.sh loops on this exit code.
 
-            limit = cfg.get("tpu", {}).get("max_host_rss_gb")
-            if limit is not None and host_rss_gb() > float(limit):
+            limit = resolve_rss_limit_gb(cfg.get("tpu", {}).get("max_host_rss_gb"))
+            if limit is not None and host_rss_gb() > limit:
                 print(f"host RSS {host_rss_gb():.1f} GB > tpu.max_host_rss_gb={limit}; "
                       f"checkpoint saved — exiting {RESTART_EXIT_CODE} for restart "
                       "(scripts/resume.sh resumes automatically)")

@@ -245,6 +245,31 @@ def host_rss_gb() -> float:
     return 0.0
 
 
+def total_host_mem_gb() -> float:
+    """Total host RAM in GB (0.0 if /proc is unavailable)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal"):
+                    return int(line.split()[1]) / 1024 ** 2
+    except OSError:
+        pass
+    return 0.0
+
+
+def resolve_rss_limit_gb(limit) -> float | None:
+    """Resolve ``tpu.max_host_rss_gb``: a number passes through, ``'auto'`` means 80% of
+    total host RAM (the elastic-restart guard headroom measured in the round-4/5 seed
+    campaigns: runs guarded at 60 GB on a 125 GB host restarted cleanly, unguarded
+    bulk-transfer paths OOM-killed the host in ~1 h), null/0 disables."""
+    if limit is None or limit == 0:
+        return None
+    if limit == "auto":
+        total = total_host_mem_gb()
+        return 0.8 * total if total else None
+    return float(limit)
+
+
 # ---------------------------------------------------------------------------
 # Misc
 

@@ -251,6 +251,22 @@ def test_e2e_train_and_resume(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_resolve_rss_limit_gb():
+    from diamond_tpu.utils import resolve_rss_limit_gb, total_host_mem_gb
+
+    assert resolve_rss_limit_gb(None) is None
+    assert resolve_rss_limit_gb(0) is None
+    assert resolve_rss_limit_gb(60) == 60.0
+    assert resolve_rss_limit_gb("12.5") == 12.5
+    total = total_host_mem_gb()
+    auto = resolve_rss_limit_gb("auto")
+    if total:  # /proc available
+        assert auto == pytest.approx(0.8 * total)
+        assert 0 < auto < total
+    else:
+        assert auto is None
+
+
 def test_max_host_rss_restart_guard(tmp_path, monkeypatch):
     """tpu.max_host_rss_gb: the trainer exits RESTART_EXIT_CODE after checkpointing when
     host RSS exceeds the limit, and a resume run completes the remaining epochs."""
