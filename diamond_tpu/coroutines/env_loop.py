@@ -135,8 +135,11 @@ class EnvLoop:
         steps: List[List[Any]] = []
         infos: List[Dict[str, Any]] = []
         # extras for gradient-replay training (model-free path): initial LSTM state and the
-        # per-step reset gates, enough to recompute the policy forward bit-for-bit
-        extras = {"hx0": np.asarray(hx), "cx0": np.asarray(cx), "reset_mask": []}
+        # per-step reset gates, enough to recompute the policy forward bit-for-bit.
+        # hx/cx stay DEVICE arrays (consumers jnp.asarray them anyway) — np.asarray here
+        # was two blocking ~25 ms D2H fetches on every send(1) on tunneled platforms,
+        # paid even by collection, which never reads extras (round-5 profile).
+        extras = {"hx0": hx, "cx0": cx, "reset_mask": []}
 
         # Per-step device outputs (logits/values) stay ON DEVICE until the end of the send:
         # only the action must cross the boundary each step (every extra fetch is a full

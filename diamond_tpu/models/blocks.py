@@ -92,11 +92,15 @@ class _QuantConv1x1(nn.Module):
         if quant.active() and quant.calibrating():
             quant.record((*self.path, "act_scale"),
                          jnp.max(jnp.abs(x.astype(jnp.float32)),
-                                 axis=tuple(range(x.ndim - 1))), "conv1x1")
+                                 axis=tuple(range(x.ndim - 1))), "conv1x1", w=w[0, 0])
             y = x.astype(self.dtype) @ w[0, 0].astype(self.dtype)
         elif quant.active() and self.has_variable("quant", "act_scale"):
-            y = quant.matmul_q8_static(x, w[0, 0],
-                                       self.get_variable("quant", "act_scale"))
+            y = quant.matmul_q8_static(
+                x, w[0, 0], self.get_variable("quant", "act_scale"),
+                w_q=self.get_variable("quant", "w_q")
+                if self.has_variable("quant", "w_q") else None,
+                w_scale=self.get_variable("quant", "w_scale")
+                if self.has_variable("quant", "w_scale") else None)
             y = y.astype(self.dtype)
         else:
             y = x.astype(self.dtype) @ w[0, 0].astype(self.dtype)
@@ -133,10 +137,15 @@ class QDense(nn.Module):
         if quant.active() and quant.calibrating():
             quant.record((*self.path, "act_scale"),
                          jnp.max(jnp.abs(x.astype(jnp.float32)),
-                                 axis=tuple(range(x.ndim - 1))), "dense")
+                                 axis=tuple(range(x.ndim - 1))), "dense", w=w)
             y = x.astype(self.dtype) @ w.astype(self.dtype)
         elif quant.active() and self.has_variable("quant", "act_scale"):
-            y = quant.matmul_q8_static(x, w, self.get_variable("quant", "act_scale"))
+            y = quant.matmul_q8_static(
+                x, w, self.get_variable("quant", "act_scale"),
+                w_q=self.get_variable("quant", "w_q")
+                if self.has_variable("quant", "w_q") else None,
+                w_scale=self.get_variable("quant", "w_scale")
+                if self.has_variable("quant", "w_scale") else None)
             y = y.astype(self.dtype)
         else:
             y = x.astype(self.dtype) @ w.astype(self.dtype)
@@ -179,12 +188,17 @@ class _LoweredConv3x3(nn.Module):
             if quant.calibrating():
                 quant.record((*self.path, "act_scale"),
                              jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(0, 1, 2)),
-                             "conv3x3")
+                             "conv3x3", w=w)
                 y = conv3x3_lowered(x.astype(self.dtype), w.astype(self.dtype),
                                     self.strides, self.mode)
             elif self.has_variable("quant", "act_scale"):
                 act_max = self.get_variable("quant", "act_scale")
-                y = quant.conv3x3_q8_static(x, w, act_max, self.strides) \
+                y = quant.conv3x3_q8_static(
+                    x, w, act_max, self.strides,
+                    w_q=self.get_variable("quant", "w_q")
+                    if self.has_variable("quant", "w_q") else None,
+                    w_scale=self.get_variable("quant", "w_scale")
+                    if self.has_variable("quant", "w_scale") else None) \
                     .astype(self.dtype)
             else:
                 # site filtered out by tpu.int8_sites (no calibrated leaf): stay bf16

@@ -105,29 +105,51 @@ def parse_sites(spec) -> frozenset:
     return frozenset(names)
 
 
-def record(path_and_leaf, act_max, kind: str) -> None:
+def record(path_and_leaf, act_max, kind: str, w=None) -> None:
     """Max-merge one site's observed per-input-channel |x| maxima into the registry.
     ``path_and_leaf``: module path tuple (relative to the apply root) + leaf name,
-    e.g. ``(*self.path, "act_scale")``. ``kind``: one of SITES_ALL, for site filtering."""
+    e.g. ``(*self.path, "act_scale")``. ``kind``: one of SITES_ALL, for site filtering.
+    ``w``: the site's weight in its quantization layout ((3,3,Cin,Cout) for conv3x3,
+    (Cin,Cout) for matmul-shaped sites) — when given, registry_to_collection also emits
+    the folded+quantized weight, so the rollout never re-quantizes loop-invariant
+    weights per step (the compiled scan body re-ran that fold every iteration —
+    VALIDATION.md round 5 HLO probe)."""
     assert kind in SITES_ALL, kind
     reg = _CALIBRATING.get()
     key = tuple(path_and_leaf)
     prev = reg.get(key)
-    reg[key] = (kind, act_max if prev is None else jnp.maximum(prev[1], act_max))
+    reg[key] = (kind, act_max if prev is None else jnp.maximum(prev[1], act_max),
+                w if prev is None else prev[2])
+
+
+def fold_quantize_weight(w: jnp.ndarray, act_max: jnp.ndarray):
+    """Fold per-input-channel act scales into ``w`` and quantize per-output-channel:
+    returns (w_q int8, w_scale f32 (Cout,)). ``w``: (..., Cin, Cout) — (3,3,Cin,Cout)
+    for conv3x3, (Cin,Cout) for matmul sites; the fold axis is always -2 and the
+    output-channel axis -1. Single definition shared by the on-the-fly paths and the
+    calibration-time precompute so the two are identical by construction."""
+    s_c = jnp.maximum(act_max.astype(jnp.float32), 1e-8) * ACT_SCALE_HEADROOM / 127.0
+    wf = w.astype(jnp.float32) * s_c[(None,) * (w.ndim - 2) + (slice(None), None)]
+    sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=tuple(range(w.ndim - 1))), 1e-8) / 127.0
+    wq = jnp.clip(jnp.round(wf / sw), -127, 127).astype(jnp.int8)
+    return wq, sw
 
 
 def registry_to_collection(registry: dict, sites=None) -> dict:
-    """Nest {(*path, leaf): (kind, act_max)} into a variables collection: the "quant"
-    twin of the params tree, one leaf per calibrated site. ``sites``: keep only these
-    site kinds (None = all)."""
+    """Nest {(*path, leaf): (kind, act_max, w)} into a variables collection: the
+    "quant" twin of the params tree, one ``act_scale`` leaf per calibrated site plus —
+    for sites that stashed their weight — precomputed ``w_q``/``w_scale`` siblings.
+    ``sites``: keep only these site kinds (None = all)."""
     out: dict = {}
-    for path, (kind, v) in registry.items():
+    for path, (kind, v, w) in registry.items():
         if sites is not None and kind not in sites:
             continue
         node = out
         for name in path[:-1]:
             node = node.setdefault(name, {})
         node[path[-1]] = v
+        if w is not None:
+            node["w_q"], node["w_scale"] = fold_quantize_weight(w, v)
     return out
 
 
@@ -137,15 +159,17 @@ ACT_SCALE_HEADROOM = 1.05
 
 
 def conv3x3_q8_static(x: jnp.ndarray, w: jnp.ndarray, act_max: jnp.ndarray,
-                      strides: int = 1) -> jnp.ndarray:
+                      strides: int = 1, w_q=None, w_scale=None) -> jnp.ndarray:
     """3x3 SAME conv on the int8 MXU with STATIC per-input-channel activation scales.
 
     The production int8 path: ``act_max`` (per-input-channel |x| maxima from a
     calibration pass) is a trace-time-constant-shaped vector, so the activation quantize
-    is a plain elementwise op that XLA fuses into the producing norm/SiLU chain — no
-    dynamic max-reduce pass (which measured away the whole int8 win, VALIDATION.md
-    round 3). The channel scales fold into the weights: conv(x, w) = conv(x/s * s, w)
-    = conv(xq, s_c*w), then per-output-channel symmetric weight quantization.
+    is a plain elementwise op with no dynamic max-reduce pass (which measured away the
+    whole int8 win, VALIDATION.md round 3). The channel scales fold into the weights:
+    conv(x, w) = conv(x/s * s, w) = conv(xq, s_c*w), then per-output-channel symmetric
+    weight quantization. Pass the calibration-precomputed ``w_q``/``w_scale`` (the
+    "quant" collection siblings) to skip the in-graph weight fold — the compiled scan
+    body otherwise re-quantizes the loop-invariant weights every step.
 
     x: (B, H, W, Cin); w: (3, 3, Cin, Cout) f32; act_max: (Cin,) f32 from calibration.
     Returns f32 (caller adds bias).
@@ -153,37 +177,36 @@ def conv3x3_q8_static(x: jnp.ndarray, w: jnp.ndarray, act_max: jnp.ndarray,
     s_c = jnp.maximum(act_max.astype(jnp.float32), 1e-8) * ACT_SCALE_HEADROOM / 127.0
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_c), -127, 127).astype(jnp.int8)
 
-    wf = w.astype(jnp.float32) * s_c[None, None, :, None]  # fold act scales into weights
-    sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)), 1e-8) / 127.0  # (Cout,)
-    wq = jnp.clip(jnp.round(wf / sw), -127, 127).astype(jnp.int8)
+    if w_q is None or w_scale is None:
+        w_q, w_scale = fold_quantize_weight(w, act_max)
 
     y = jax.lax.conv_general_dilated(
-        xq, wq, (strides, strides), ((1, 1), (1, 1)),
+        xq, w_q, (strides, strides), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
-    return y.astype(jnp.float32) * sw
+    return y.astype(jnp.float32) * w_scale
 
 
-def matmul_q8_static(x: jnp.ndarray, w: jnp.ndarray, act_max: jnp.ndarray) -> jnp.ndarray:
+def matmul_q8_static(x: jnp.ndarray, w: jnp.ndarray, act_max: jnp.ndarray,
+                     w_q=None, w_scale=None) -> jnp.ndarray:
     """Contraction over the last axis on the int8 MXU with STATIC per-input-channel
     activation scales — the matmul twin of conv3x3_q8_static, shared by the conv1x1,
     dense and LSTM-gate sites (a 1x1 conv IS a matmul over the channel axis).
 
     Same scheme: ``act_max`` (per-input-channel |x| maxima from calibration, or a static
-    bound like the LSTM's |h|<1) makes the activation quantize a constant elementwise op
-    that fuses into the producer, and the channel scales fold into the per-output-channel
-    weight quantization. x: (..., Cin); w: (Cin, Cout) f32; act_max: (Cin,) f32.
-    Returns f32 (caller adds bias)."""
+    bound like the LSTM's |h|<1) makes the activation quantize a constant elementwise op,
+    and the channel scales fold into the per-output-channel weight quantization —
+    precomputed at calibration when ``w_q``/``w_scale`` are given. x: (..., Cin);
+    w: (Cin, Cout) f32; act_max: (Cin,) f32. Returns f32 (caller adds bias)."""
     s_c = jnp.maximum(act_max.astype(jnp.float32), 1e-8) * ACT_SCALE_HEADROOM / 127.0
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_c), -127, 127).astype(jnp.int8)
 
-    wf = w.astype(jnp.float32) * s_c[:, None]  # fold act scales into weights
-    sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=0), 1e-8) / 127.0  # (Cout,)
-    wq = jnp.clip(jnp.round(wf / sw), -127, 127).astype(jnp.int8)
+    if w_q is None or w_scale is None:
+        w_q, w_scale = fold_quantize_weight(w, act_max)
 
-    y = jax.lax.dot_general(xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+    y = jax.lax.dot_general(xq, w_q, (((x.ndim - 1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
-    return y.astype(jnp.float32) * sw
+    return y.astype(jnp.float32) * w_scale
 
 
 def conv3x3_q8(x: jnp.ndarray, w: jnp.ndarray, strides: int = 1) -> jnp.ndarray:
