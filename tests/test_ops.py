@@ -230,6 +230,48 @@ def test_int8_scope_confines_quantization_to_sampler():
 
 
 @pytest.mark.slow
+def test_int8_prequant_weights_match_infraph_fold():
+    """The calibration collection carries precomputed w_q/w_scale siblings (round 5);
+    sampling with them must be BIT-identical to a legacy collection holding only
+    act_scale (the in-graph weight fold taken by checkpoints saved before the change)."""
+    from diamond_tpu.models import (Denoiser, DenoiserConfig, DiffusionSampler,
+                                    DiffusionSamplerConfig, InnerModelConfig)
+
+    den = Denoiser(DenoiserConfig(
+        inner_model=InnerModelConfig(img_channels=3, num_steps_conditioning=2,
+                                     cond_channels=16, depths=[1], channels=[16],
+                                     attn_depths=[0], num_actions=3),
+        sigma_data=0.5, sigma_offset_noise=0.3))
+    v = den.init(jax.random.PRNGKey(0), img_size=8)
+    v = jax.tree_util.tree_map_with_path(
+        lambda p, x: jax.random.normal(jax.random.PRNGKey(len(str(p))), x.shape) * 0.05
+        if x.ndim == 4 and not np.any(np.asarray(x)) else x, v)
+    sampler = DiffusionSampler(den, DiffusionSamplerConfig(num_steps_denoising=2))
+
+    rng = np.random.default_rng(3)
+    prev_obs = jnp.asarray(rng.uniform(-1, 1, (2, 2, 8, 8, 3)).astype(np.float32))
+    act = jnp.asarray(rng.integers(0, 3, (2, 2)).astype(np.int32))
+    x_init = jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype(np.float32))
+
+    v_cal = sampler.calibrate(v, jax.random.PRNGKey(9), prev_obs, act, sites="all")
+    leaves = jax.tree_util.tree_leaves_with_path(v_cal["quant"])
+    assert any("w_q" in str(p) for p, _ in leaves), "precomputed w_q missing"
+    assert any("w_scale" in str(p) for p, _ in leaves), "precomputed w_scale missing"
+
+    x_pre, _ = sampler.sample(v_cal, jax.random.PRNGKey(1), prev_obs, act, x_init=x_init)
+
+    # legacy collection: strip the precomputed siblings, forcing the in-graph fold
+    def strip(node):
+        if isinstance(node, dict):
+            return {k: strip(x) for k, x in node.items() if k not in ("w_q", "w_scale")}
+        return node
+
+    v_legacy = dict(v_cal, quant=strip(v_cal["quant"]))
+    x_leg, _ = sampler.sample(v_legacy, jax.random.PRNGKey(1), prev_obs, act,
+                              x_init=x_init)
+    np.testing.assert_array_equal(np.asarray(x_pre), np.asarray(x_leg))
+
+
 def test_int8_rew_end_inference_path():
     """RewEndModel.calibrate + the rollout's int8 scope (world_model_env._wm_transition):
     calibrated int8 logits perturb but stay close to f32, and the training loss traced
