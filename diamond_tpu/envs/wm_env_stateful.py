@@ -138,6 +138,14 @@ class WorldModelEnv:
         self._st, out = self._step(self._d_vars(), self._r_vars(), self._st, act,
                                    self._next_key())
 
+        # dispatch the upsampler on the DEVICE-resident low-res frame before any host
+        # materialization: both device computations queue back-to-back and the fetches
+        # below overlap with the upsampler's execution — on tunneled platforms the old
+        # fetch->dispatch->fetch order serialized an extra ~25 ms round trip per frame
+        # (key order unchanged: step key, then upsample key)
+        high_dev = (self._upsample(self._u_vars(), self._next_key(), out["next_obs"])
+                    if self._factor > 1 else None)
+
         next_obs = np.asarray(out["next_obs"])
         rew = np.asarray(out["rew"], np.float32)
         end = np.asarray(out["end"]).astype(bool)
@@ -149,8 +157,7 @@ class WorldModelEnv:
             info["denoising_trajectory"] = np.asarray(out["denoising_trajectory"])
 
         if self._factor > 1:  # super-resolve the new low-res frame for display
-            high = obs_to_uint8(np.asarray(
-                self._upsample(self._u_vars(), self._next_key(), out["next_obs"])))
+            high = obs_to_uint8(np.asarray(high_dev))
             self._display_obs = high.copy()
             info["low_res_obs"] = obs_to_uint8(next_obs)
             final_obs_pool = high
