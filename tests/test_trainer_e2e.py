@@ -316,3 +316,36 @@ def test_cli_resume_reloads_saved_config(tmp_path, monkeypatch):
     # without the saved-config reload this raises the ale-py ImportError (env=atari);
     # with it, the finished-run guard skips instantly
     cli_main(["common.resume=True", "--run-dir", str(run_dir)])
+
+
+@pytest.mark.slow
+def test_final_eval_script_reproduces_in_run_number(tmp_path, monkeypatch):
+    """scripts/final_eval.py (the tool that banked the round-5 capability numbers) must
+    reproduce a finished run's in-run final_return_mean exactly: same default ckpt
+    (latest agent version), same collector seed (run seed + 1), same protocol
+    truncation — on the deterministic fake env the re-run is bit-for-bit."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    monkeypatch.chdir(run_dir)
+    cfg = load_config("trainer", overrides=TINY_OVERRIDES)
+    trainer = Trainer(cfg, root_dir=tmp_path, run_dir=run_dir)
+    trainer.run()
+    in_run = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()
+              if "final_return_mean" in l][-1]
+
+    repo = Path(__file__).resolve().parents[1]
+    env = {k: v for k, v in os.environ.items() if not k.startswith("PALLAS_AXON")}
+    env.update(JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, str(repo / "scripts" / "final_eval.py"), str(run_dir)],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    got = json.loads(out.stdout.strip().splitlines()[-1])
+    assert got["final_num_episodes"] == in_run["final_num_episodes"]
+    assert got["final_return_mean"] == pytest.approx(in_run["final_return_mean"])
+    assert got["final_return_std"] == pytest.approx(in_run["final_return_std"])
